@@ -1,0 +1,84 @@
+"""Golden-image test: JAX integrator vs the independent NumPy tracer.
+
+Config 1 of BASELINE.json ("Cornell box, analytic spheres only, diffuse BRDF,
+CPU-runnable") at reduced size.  The two implementations share only the RNG
+spec, so agreement validates camera rays, sphere intersection ordering,
+Fresnel/diffuse scattering, Cornell kill-on-miss, depth and accumulation.
+
+A small fraction of pixels may legitimately diverge: the smallpt
+giant-sphere trick (r=1e5 walls) computes ``det = b^2 - |op|^2 + r^2`` with
+~1e3 absolute float32 noise (cancellation of 1e10-scale squares), so rays
+grazing a wall flip hit/miss under any two arithmetic orderings — the
+reference's own CUDA and OpenCL backends diverge identically.  The contract:
+the vast majority of pixels match tightly, a bounded fraction may differ by
+bounded amounts.
+"""
+
+import numpy as np
+import jax
+
+from vrenderer_pathtracer_tpu import Renderer, RenderSettings
+from tests import reference_tracer as ref
+
+
+def _compare(img, depth, eimg, edepth, outlier_frac=0.02):
+    diff = np.abs(img - eimg)
+    bad = (diff > 1e-3).any(axis=-1)
+    assert bad.mean() <= outlier_frac, f"{bad.mean():.4%} pixels diverge, max {diff.max()}"
+    assert diff.mean() <= 2e-3, f"mean image error {diff.mean()}"
+    assert diff.max() <= 0.25, f"max image error {diff.max()}"
+    ddiff = np.abs(depth - edepth)
+    assert (ddiff > 1e-3).mean() <= outlier_frac
+
+
+def test_cornell_16x16_matches_reference():
+    w = h = 16
+    settings = RenderSettings(
+        use_cornell_box=True, bounces=2, samples_per_pass=4, has_hdr=False
+    )
+    r = Renderer(w, h, settings=settings)
+    img, depth = r.render_frames(2)
+
+    eimg, edepth = ref.render_image(
+        w, h, spp_per_frame=4, frames=2, bounces=2, use_cornell=True
+    )
+    _compare(img, depth, eimg, edepth)
+
+
+def test_spheres_with_hdr_matches_reference():
+    w = h = 16
+    rng = np.random.default_rng(7)
+    hdr = rng.uniform(0.0, 2.0, (8, 16, 3)).astype(np.float32)
+    settings = RenderSettings(
+        use_cornell_box=False, bounces=4, samples_per_pass=2
+    )
+    r = Renderer(w, h, settings=settings)
+    r.load_hdr(hdr)
+    img, depth = r.render_frames(3)
+
+    eimg, edepth = ref.render_image(
+        w, h, spp_per_frame=2, frames=3, bounces=4, use_cornell=False, hdr=hdr
+    )
+    _compare(img, depth, eimg, edepth)
+
+
+def test_fresnel_params_affect_image():
+    settings = RenderSettings(use_cornell_box=True, bounces=3, samples_per_pass=4, has_hdr=False)
+    r = Renderer(32, 32, settings=settings)
+    img_a, _ = r.render_frames(1)
+    r.set_fresnel_coef(0.9)
+    img_b, _ = r.render_frames(1)
+    assert np.abs(img_a - img_b).max() > 1e-3
+
+
+def test_moved_camera_matches_reference():
+    w = h = 12
+    settings = RenderSettings(use_cornell_box=True, bounces=2, samples_per_pass=2, has_hdr=False)
+    r = Renderer(w, h, settings=settings)
+    r.update_camera(origin=(5.0, -3.0, 120.0), yaw=0.2, pitch=-0.1, fov_deg=60.0)
+    img, depth = r.render_frames(2)
+    eimg, edepth = ref.render_image(
+        w, h, spp_per_frame=2, frames=2, bounces=2, use_cornell=True,
+        camera=dict(origin=(5.0, -3.0, 120.0), yaw=0.2, pitch=-0.1, fov_deg=60.0),
+    )
+    _compare(img, depth, eimg, edepth)

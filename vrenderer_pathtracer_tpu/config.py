@@ -1,0 +1,62 @@
+"""Static render configuration.
+
+The reference splits configuration across three tiers (compile-time backend
+defines, compile-time kernel constants like ``kSamps=2`` / 4 bounces /
+``kInvGamma=1/2.2`` at ``cuda/src/PathTracer.cu:38-42,624``, and runtime
+``__constant__`` flags set via ``cudaMemcpyToSymbol`` at
+``cuda/src/PathTracer.cu:894-1001``).  Here the same split is expressed the
+XLA way: everything in :class:`RenderSettings` is a *static* (hashable) jit
+argument — changing it recompiles, exactly like the reference re-uploading
+constant symbols forces divergent kernel paths — while continuously-varying
+quantities (camera, fresnel sliders) travel as traced arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderSettings:
+    """Hashable static settings for a jitted render step.
+
+    Mirrors the reference's constant symbols / kernel constants:
+
+    * ``width/height``     — framebuffer size (reference: GL texture size)
+    * ``samples_per_pass`` — ``kSamps`` (reference default 2)
+    * ``bounces``          — fixed bounce budget (reference: literal 4)
+    * ``use_cornell_box``  — ``kUseCornellBox``
+    * ``use_example_sphere`` — ``kUseExampleSphere``
+    * ``use_brdf``         — ``kViewBRDF`` (shade mesh/example sphere with the
+                              measured BRDF instead of diffuse)
+    * ``has_*_map`` / ``has_brdf`` / ``has_mesh`` — ``kHas*`` / ``kMeshInitialised``
+    * ``gamma``            — display gamma (reference ``kInvGamma = 1/2.2``)
+    * ``depth_scale``      — depth normalisation (reference: ``dist/150`` at
+                              ``cuda/src/PathTracer.cu:660``)
+    """
+
+    width: int = 512
+    height: int = 512
+    samples_per_pass: int = 2
+    bounces: int = 4
+    use_cornell_box: bool = False
+    use_example_sphere: bool = False
+    use_brdf: bool = False
+    has_diffuse_map: bool = False
+    has_normal_map: bool = False
+    has_specular_map: bool = False
+    has_brdf: bool = False
+    has_mesh: bool = False
+    has_hdr: bool = True
+    gamma: float = 2.2
+    depth_scale: float = 150.0
+    # Number of rays traced per integrator call; the sample loop is chunked so
+    # that one chunk is width*height*samples_per_chunk rays (memory control).
+    samples_per_chunk: int = 0  # 0 => all samples in one chunk
+
+    def replace(self, **kw) -> "RenderSettings":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def n_pixels(self) -> int:
+        return self.width * self.height

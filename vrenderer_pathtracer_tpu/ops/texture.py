@@ -1,0 +1,69 @@
+"""Surface texture fetches (diffuse / normal / specular maps).
+
+Reference semantics (``cuda/src/PathTracer.cu:396-448``): integer texel
+coordinates ``x = W*u``, ``y = H*v`` with a clamped flat index — i.e. nearest
+fetch with *wrap-by-overflow* folded into the clamp.  ``fetch_nearest``
+reproduces that exactly; ``fetch_bilinear`` is the differentiable variant used
+for texture optimisation.
+
+The v-flip (``1 - v``) the reference applies at mesh-load time
+(``src/MeshLoader.cpp``) is an asset-pipeline concern handled by the loader,
+not here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def fetch_nearest(tex, u, v):
+    """tex [H,W,3]; u,v [B] -> [B,3] (reference-parity integer fetch)."""
+    height, width = tex.shape[0], tex.shape[1]
+    x = (u * width).astype(jnp.int32)
+    y = (v * height).astype(jnp.int32)
+    addr = jnp.clip(x + y * width, 0, width * height - 1)
+    return tex.reshape(-1, 3)[addr]
+
+
+def fetch_bilinear(tex, u, v):
+    """Clamped bilinear fetch for smooth texture gradients."""
+    height, width = tex.shape[0], tex.shape[1]
+    fx = u * width - 0.5
+    fy = v * height - 0.5
+    x0 = jnp.floor(fx).astype(jnp.int32)
+    y0 = jnp.floor(fy).astype(jnp.int32)
+    wx = (fx - x0)[:, None]
+    wy = (fy - y0)[:, None]
+    x0c = jnp.clip(x0, 0, width - 1)
+    x1c = jnp.clip(x0 + 1, 0, width - 1)
+    y0c = jnp.clip(y0, 0, height - 1)
+    y1c = jnp.clip(y0 + 1, 0, height - 1)
+    flat = tex.reshape(-1, 3)
+    c00 = flat[x0c + y0c * width]
+    c10 = flat[x1c + y0c * width]
+    c01 = flat[x0c + y1c * width]
+    c11 = flat[x1c + y1c * width]
+    top = c00 * (1 - wx) + c10 * wx
+    bot = c01 * (1 - wx) + c11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def decode_normal_map(texel):
+    """Remap a normal-map texel to [-1,1] and normalize (PathTracer.cu:425)."""
+    n = 2.0 * texel - 1.0
+    return n / jnp.linalg.norm(n, axis=-1, keepdims=True)
+
+
+def apply_tbn(normal, tangent, n_tangentspace):
+    """World normal = TBN * tangent-space normal (PathTracer.cu:420-428).
+
+    normal/tangent: [B,3] unit vectors; n_tangentspace: [B,3].
+    bitangent = cross(normal, tangent), columns (tangent, bitangent, normal).
+    """
+    bitangent = jnp.cross(normal, tangent)
+    world = (
+        tangent * n_tangentspace[:, 0:1]
+        + bitangent * n_tangentspace[:, 1:2]
+        + normal * n_tangentspace[:, 2:3]
+    )
+    return world / jnp.linalg.norm(world, axis=-1, keepdims=True)

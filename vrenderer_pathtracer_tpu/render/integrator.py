@@ -1,0 +1,260 @@
+"""Wavefront path integrator: the TPU-native re-design of the megakernel.
+
+The reference traces each pixel in one divergent megakernel
+(``trace`` at ``cuda/src/PathTracer.cu:597-770``).  On TPU that shape is
+wrong: instead we run *wavefront passes over flat ray batches* — every bounce
+is one vectorized step over ``[B]`` SoA arrays (origins, directions,
+throughput, radiance), with terminated lanes masked by ``jnp.where``.  The
+bounce budget is static (reference: literal 4), so the loop unrolls and XLA
+fuses each bounce into a handful of VPU passes.
+
+Estimator parity (constants from the reference, re-derived not copied):
+
+* miss -> HDRI: ``accum += mask * 2 * hdr[latlong]`` (``:632-647``); in
+  Cornell mode a miss returns pure black, *discarding* prior emission
+  (``:649-652``) — replicated faithfully.
+* depth = ``|origin - hit| / 150`` at the first bounce (``:656-661``).
+* ``accum += mask * emission`` then material scatter (see ops/shading.py).
+
+Differentiability: the whole function is pure JAX, so ``jax.grad`` flows from
+radiance back to camera, sphere albedos/emissions, Fresnel parameters,
+textures, the MERL table and the environment map.  Discrete events (hit
+selection, Fresnel branch) follow the detached-sampling convention.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core import rng
+from vrenderer_pathtracer_tpu.ops import texture as tex_ops
+from vrenderer_pathtracer_tpu.ops.envmap import sample_env_nearest
+from vrenderer_pathtracer_tpu.ops.intersect import INF, intersect_spheres
+from vrenderer_pathtracer_tpu.ops.shading import ORIGIN_OFFSET, scatter
+from vrenderer_pathtracer_tpu.scene.scene import Scene
+from vrenderer_pathtracer_tpu.scene.spheres import BRDF, DIFF
+from vrenderer_pathtracer_tpu.scene.spheres import EXAMPLE_SPHERE_POS, EXAMPLE_SPHERE_RADIUS
+
+
+class HitData(NamedTuple):
+    """SoA hit record, one entry per ray lane (reference ``vHitData``)."""
+
+    hit: jnp.ndarray        # [B] bool
+    t: jnp.ndarray          # [B]
+    point: jnp.ndarray      # [B,3]
+    normal: jnp.ndarray     # [B,3]
+    tangent: jnp.ndarray    # [B,3]
+    color: jnp.ndarray      # [B,3]
+    spec_color: jnp.ndarray # [B,3]
+    emission: jnp.ndarray   # [B,3]
+    hit_type: jnp.ndarray   # [B] int32
+
+
+def _norm(x):
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+
+def _intersect_sphere_set(scene: Scene, ray_o, ray_d):
+    """Nearest analytic-sphere hit per lane."""
+    s = scene.spheres
+    dist = intersect_spheres(ray_o, ray_d, s.pos, s.radius)  # [B,N]
+    j = jnp.argmin(dist, axis=1)
+    t = jnp.take_along_axis(dist, j[:, None], axis=1)[:, 0]
+    hit = t < INF
+    point = ray_o + ray_d * t[:, None]
+    normal = _norm(point - s.pos[j])
+    return HitData(
+        hit=hit,
+        t=t,
+        point=point,
+        normal=normal,
+        tangent=jnp.zeros_like(normal),
+        color=s.color[j],
+        spec_color=s.spec_color[j],
+        emission=s.emission[j],
+        hit_type=s.refl[j],
+    )
+
+
+def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev: HitData):
+    """Example-sphere intersection with texture/normal-map shading.
+
+    Reference ``cuda/src/PathTracer.cu:192-268``.  Deliberate divergence
+    (SURVEY §7 "reference bugs not to replicate"): UVs are computed from the
+    *fresh* surface normal; the reference reads a stale normal (``:202-204``).
+    The spherical tangent estimate (``:232-235``) is reproduced as-is and also
+    used as the BRDF tangent (uninitialised/UB in the reference).
+    """
+    pos = jnp.array(EXAMPLE_SPHERE_POS, jnp.float32)
+    r = jnp.float32(EXAMPLE_SPHERE_RADIUS)
+    dist = intersect_spheres(ray_o, ray_d, pos[None, :], r[None])[:, 0]
+    closer = (dist < prev.t)
+
+    point = ray_o + ray_d * dist[:, None]
+    normal = _norm(point - pos[None, :])
+    u = jnp.arctan2(normal[:, 0], normal[:, 2]) / (2.0 * jnp.pi) + 0.5
+    v = normal[:, 1] * 0.5 + 0.5
+
+    use_tex = not settings.use_brdf
+    if settings.has_diffuse_map and use_tex:
+        color = tex_ops.fetch_nearest(scene.diffuse_map, u, v)
+    else:
+        color = jnp.ones_like(point)
+
+    # Spherical tangent estimate (reference's formula, kept for parity).
+    pr = jnp.maximum(jnp.linalg.norm(point, axis=-1), 1e-12)
+    theta = jnp.arccos(jnp.clip(point[:, 2] / pr, -1.0, 1.0))
+    phi = jnp.arctan2(point[:, 1], point[:, 0])
+    tangent = jnp.stack(
+        [jnp.sin(theta) * jnp.cos(phi), jnp.sin(theta) * jnp.sin(phi), jnp.cos(theta)],
+        axis=-1,
+    )
+
+    if settings.has_normal_map:
+        texel = tex_ops.fetch_nearest(scene.normal_map, u, v)
+        n_ts = tex_ops.decode_normal_map(texel)
+        normal = tex_ops.apply_tbn(normal, tangent, n_ts)
+
+    if settings.has_specular_map and use_tex:
+        spec = tex_ops.fetch_nearest(scene.specular_map, u, v)
+    else:
+        spec = jnp.zeros_like(point)
+
+    hit_type = jnp.full(dist.shape, BRDF if settings.use_brdf else DIFF, jnp.int32)
+
+    def sel3(a, b):
+        return jnp.where(closer[:, None], a, b)
+
+    return HitData(
+        hit=prev.hit | closer,
+        t=jnp.where(closer, dist, prev.t),
+        point=sel3(point, prev.point),
+        normal=sel3(normal, prev.normal),
+        tangent=sel3(tangent, prev.tangent),
+        color=sel3(color, prev.color),
+        spec_color=sel3(spec, prev.spec_color),
+        emission=sel3(jnp.zeros_like(point), prev.emission),
+        hit_type=jnp.where(closer, hit_type, prev.hit_type),
+    )
+
+
+def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d) -> HitData:
+    """Scene intersection in the reference's priority order
+    (``cuda/src/PathTracer.cu:136-468``): cornell+analytic spheres, then the
+    example sphere *or* the mesh, later hits winning only if strictly closer.
+    """
+    hd = _intersect_sphere_set(scene, ray_o, ray_d)
+    if settings.use_example_sphere:
+        hd = _example_sphere_hit(scene, settings, ray_o, ray_d, hd)
+    elif settings.has_mesh:
+        from vrenderer_pathtracer_tpu.accel.traverse import mesh_hit
+
+        hd = mesh_hit(scene, settings, ray_o, ray_d, hd)
+    return hd
+
+
+def radiance(
+    scene: Scene,
+    settings: RenderSettings,
+    ray_o,
+    ray_d,
+    pixel_ids,
+    sample_ids,
+    frame,
+    fresnel_coef,
+    fresnel_pow,
+    seed: int = 0,
+):
+    """Trace a ray batch for ``settings.bounces`` bounces.
+
+    Returns ``(rgb [B,3], depth [B])`` — the per-sample radiance estimate and
+    the reference's normalized first-hit depth.
+    """
+    n_rays = ray_o.shape[0]
+    mask = jnp.ones((n_rays, 3), jnp.float32)
+    accum = jnp.zeros((n_rays, 3), jnp.float32)
+    depth = jnp.ones((n_rays,), jnp.float32)
+    alive = jnp.ones((n_rays,), bool)
+    killed = jnp.zeros((n_rays,), bool)  # Cornell-mode miss kills the path
+
+    for bounce in range(settings.bounces):
+        hd = intersect_scene(scene, settings, ray_o, ray_d)
+        miss = alive & ~hd.hit
+        live_hit = alive & hd.hit
+
+        if settings.use_cornell_box:
+            killed = killed | miss
+        elif settings.has_hdr and scene.hdr is not None:
+            env = sample_env_nearest(scene.hdr, ray_d)
+            accum = accum + jnp.where(miss[:, None], mask * env, 0.0)
+
+        if bounce == 0:
+            d0 = jnp.linalg.norm(ray_o - hd.point, axis=-1) / settings.depth_scale
+            depth = jnp.where(live_hit, d0, depth)
+
+        accum = accum + jnp.where(live_hit[:, None], mask * hd.emission, 0.0)
+
+        u_reflect, _ = rng.uniform2(seed, pixel_ids, rng.make_stream(frame, sample_ids, bounce, 0))
+        u_phi, u_r = rng.uniform2(seed, pixel_ids, rng.make_stream(frame, sample_ids, bounce, 1))
+
+        new_dir, mult = scatter(
+            ray_d,
+            hd.normal,
+            hd.tangent,
+            hd.color,
+            hd.spec_color,
+            hd.hit_type,
+            u_reflect,
+            u_phi,
+            u_r,
+            fresnel_coef,
+            fresnel_pow,
+            brdf_table=scene.brdf if settings.has_brdf else None,
+        )
+
+        lh = live_hit[:, None]
+        ray_o = jnp.where(lh, hd.point + ORIGIN_OFFSET * hd.normal, ray_o)
+        ray_d = jnp.where(lh, new_dir, ray_d)
+        mask = jnp.where(lh, mask * mult, mask)
+        alive = live_hit
+
+    if settings.use_cornell_box:
+        accum = jnp.where(killed[:, None], 0.0, accum)
+        depth = jnp.where(killed, 0.0, depth)
+    return accum, depth
+
+
+def render_pass(
+    scene: Scene,
+    settings: RenderSettings,
+    ray_o,
+    ray_d,
+    pixel_ids,
+    frame,
+    fresnel_coef,
+    fresnel_pow,
+    seed: int = 0,
+):
+    """One progressive pass: ``samples_per_pass`` estimates per pixel.
+
+    Samples are batched into the lane dimension (B = N * S) so small frames
+    still fill the VPU; reference equivalent is the ``kSamps`` loop at
+    ``cuda/src/PathTracer.cu:839-855``.  Returns ``(rgb_mean [N,3], depth [N])``.
+    """
+    n = ray_o.shape[0]
+    s = settings.samples_per_pass
+    big_o = jnp.tile(ray_o, (s, 1))
+    big_d = jnp.tile(ray_d, (s, 1))
+    big_ids = jnp.tile(pixel_ids, (s,))
+    sample_ids = jnp.repeat(jnp.arange(s, dtype=jnp.uint32), n)
+
+    rgb, depth = radiance(
+        scene, settings, big_o, big_d, big_ids, sample_ids, frame,
+        fresnel_coef, fresnel_pow, seed,
+    )
+    rgb = rgb.reshape(s, n, 3).mean(axis=0)
+    depth = depth.reshape(s, n)[-1]  # same primary ray per sample: last write
+    return rgb, depth

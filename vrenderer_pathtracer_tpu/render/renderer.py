@@ -1,0 +1,182 @@
+"""Renderer façade — the TPU re-expression of the ``vRenderer`` API.
+
+The reference's backend-neutral surface (``include/vRenderer.h:48-151``):
+``init / registerTextureBuffer / render / cleanUp / updateCamera / initMesh /
+loadHDR / loadTexture / useBRDF / useExampleSphere / useCornellBox /
+clearBuffer / loadBRDF / getFrameCount / setFresnelCoef / setFresnelPower /
+setCamera``.  GL-interop registration has no TPU meaning; its role (getting
+pixels out) is served by returning device arrays / writing images.
+
+Progressive accumulation state is exactly the reference's
+(``float4`` accumulation buffer + frame counter, ``src/vRendererCuda.cpp:
+100-105``): every scene mutation resets ``frame=1`` and zeroes the buffer.
+That state triple (accum, frame, rng seed) is also the checkpoint payload —
+see render/progressive.py.
+
+All hot work happens in one jitted step; static flags live in
+:class:`RenderSettings` so flag flips recompile (the reference's
+constant-symbol semantics) while camera/fresnel edits do not.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays, pixel_ids
+from vrenderer_pathtracer_tpu.ops.tonemap import tonemap
+from vrenderer_pathtracer_tpu.render.integrator import render_pass
+from vrenderer_pathtracer_tpu.scene.scene import MeshData, Scene, settings_for_scene
+from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+
+DIFFUSE, NORMAL, SPECULAR = 0, 1, 2  # texture types (reference vTextureType)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "seed"))
+def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow, settings, seed):
+    ray_o, ray_d = generate_rays(camera, settings.width, settings.height)
+    ids = pixel_ids(settings.width, settings.height)
+    rgb, depth = render_pass(
+        scene, settings, ray_o, ray_d, ids, frame, fresnel_coef, fresnel_pow, seed
+    )
+    accum = accum + rgb
+    img = tonemap(accum, frame, settings.gamma)
+    return accum, img, depth
+
+
+class Renderer:
+    """Stateful progressive renderer with the reference API surface."""
+
+    def __init__(self, width: int = 512, height: int = 512, *,
+                 settings: Optional[RenderSettings] = None, seed: int = 0):
+        base = settings or RenderSettings()
+        self.settings = base.replace(width=width, height=height)
+        self.scene = Scene(spheres=build_sphere_set(self.settings.use_cornell_box))
+        self.camera = Camera.default()
+        self.seed = seed
+        self.fresnel_coef = jnp.float32(0.1)
+        self.fresnel_pow = jnp.float32(3.0)
+        self.frame = 1
+        self._accum = None
+        self.clear_buffer()
+
+    # -- state management ---------------------------------------------------
+
+    def clear_buffer(self):
+        """frame=1 + zeroed accumulation (reference ``clearBuffer``)."""
+        self.frame = 1
+        n = self.settings.n_pixels
+        self._accum = jnp.zeros((n, 3), jnp.float32)
+
+    def _sync_settings(self):
+        self.settings = settings_for_scene(self.scene, self.settings)
+
+    def _mutate(self, **scene_updates):
+        if scene_updates:
+            self.scene = self.scene._replace(**scene_updates)
+        self._sync_settings()
+        self.clear_buffer()
+
+    # -- reference API ------------------------------------------------------
+
+    def set_camera(self, camera: Camera):
+        self.camera = camera.with_pitch_clamped()
+        self.clear_buffer()
+
+    def update_camera(self, *, origin=None, yaw=None, pitch=None, fov_deg=None):
+        kw = {}
+        if origin is not None:
+            kw["origin"] = jnp.asarray(origin, jnp.float32)
+        if yaw is not None:
+            kw["yaw"] = jnp.float32(yaw)
+        if pitch is not None:
+            kw["pitch"] = jnp.float32(pitch)
+        if fov_deg is not None:
+            kw["fov_deg"] = jnp.float32(fov_deg)
+        self.set_camera(self.camera._replace(**kw))
+
+    def load_hdr(self, hdr):
+        """Set the lat-long environment map ([H,W,3] float, linear)."""
+        self._mutate(hdr=jnp.asarray(hdr, jnp.float32))
+
+    def load_texture(self, image, gamma: float = 2.2, texture_type: int = DIFFUSE):
+        """Set a surface map.  Diffuse maps are linearised with ``c**gamma``
+        inverted — the reference applies ``pow(c, 1/gamma)``**(sic)** to
+        diffuse texels at load (``src/NGLScene.cpp:403-424``) so display gamma
+        re-applies it; we reproduce that contract."""
+        img = jnp.asarray(image, jnp.float32)
+        if texture_type == DIFFUSE:
+            img = jnp.power(img, 1.0 / gamma)
+            self._mutate(diffuse_map=img)
+        elif texture_type == NORMAL:
+            self._mutate(normal_map=img)
+        elif texture_type == SPECULAR:
+            self._mutate(specular_map=img)
+        else:
+            raise ValueError(f"unknown texture type {texture_type}")
+
+    def load_brdf(self, table):
+        """Set a MERL table, shape [3, 90*90*180] (see io/merl.py)."""
+        self._mutate(brdf=jnp.asarray(table, jnp.float32))
+
+    def init_mesh(self, mesh: MeshData):
+        self._mutate(mesh=mesh)
+
+    def use_brdf(self, enable: bool):
+        self.settings = self.settings.replace(use_brdf=enable)
+        self._mutate()
+
+    def use_example_sphere(self, enable: bool):
+        self.settings = self.settings.replace(use_example_sphere=enable)
+        self._mutate()
+
+    def use_cornell_box(self, enable: bool):
+        self.settings = self.settings.replace(use_cornell_box=enable)
+        self.scene = self.scene._replace(spheres=build_sphere_set(enable))
+        self._mutate()
+
+    def set_fresnel_coef(self, value: float):
+        self.fresnel_coef = jnp.float32(value)
+        self.clear_buffer()
+
+    def set_fresnel_power(self, value: float):
+        self.fresnel_pow = jnp.float32(value)
+        self.clear_buffer()
+
+    def get_frame_count(self) -> int:
+        return self.frame
+
+    @property
+    def samples_per_pixel(self) -> int:
+        """HUD 'spp' = frame * samples_per_pass (``src/NGLScene.cpp:331``)."""
+        return (self.frame - 1) * self.settings.samples_per_pass
+
+    # -- the frame loop -----------------------------------------------------
+
+    def render(self):
+        """One progressive pass; returns (image01 [H,W,3], depth [H,W])."""
+        self._accum, img, depth = _render_step(
+            self.scene,
+            self.camera,
+            self._accum,
+            jnp.uint32(self.frame),
+            self.fresnel_coef,
+            self.fresnel_pow,
+            self.settings,
+            self.seed,
+        )
+        self.frame += 1
+        h, w = self.settings.height, self.settings.width
+        return img.reshape(h, w, 3), depth.reshape(h, w)
+
+    def render_frames(self, n: int):
+        """Run n progressive passes, return the final image (host numpy)."""
+        img = depth = None
+        for _ in range(n):
+            img, depth = self.render()
+        return np.asarray(img), np.asarray(depth)
