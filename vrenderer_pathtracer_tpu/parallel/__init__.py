@@ -1,0 +1,21 @@
+from vrenderer_pathtracer_tpu.parallel.sharding import (
+    SAMPLE_AXIS,
+    TILE_AXIS,
+    TrainParams,
+    make_render_mesh,
+    replicate,
+    shard_pixels,
+    sharded_render_step,
+    sharded_train_step,
+)
+
+__all__ = [
+    "SAMPLE_AXIS",
+    "TILE_AXIS",
+    "TrainParams",
+    "make_render_mesh",
+    "replicate",
+    "shard_pixels",
+    "sharded_render_step",
+    "sharded_train_step",
+]

@@ -1,0 +1,225 @@
+"""Multi-chip execution: tile × sample sharding over a TPU device mesh.
+
+The reference's only parallelism is single-GPU SIMT over pixels
+(``cuda/src/PathTracer.cu:887-891``: one thread per pixel, 16×16 blocks).
+The TPU-native generalisation (SURVEY §2 "parallelism inventory") keeps the
+same work decomposition — per-pixel radiance estimates are independent and
+accumulation is a sum — and shards it over a 2-D device mesh:
+
+* axis ``"tiles"``   — the flattened pixel axis is split into contiguous
+  tiles, one shard per mesh column; no communication is needed on this axis
+  (the reference's thread-block grid, lifted to chips).
+* axis ``"samples"`` — sample batches are split across mesh rows; each chip
+  draws *disjoint RNG sample streams* (counter-based threefry, core/rng.py)
+  and partial radiance estimates are combined with ``lax.pmean`` over ICI.
+
+Scene data (spheres, BVH arrays, textures, HDRI, MERL table) is **replicated**
+into every chip's HBM — exactly the reference's single-GPU resident set — so
+the only collectives on the forward path are the sample-axis mean, and on the
+backward path one ``psum`` of parameter gradients (overlapped by XLA with the
+rest of the backward pass).
+
+Everything here also runs on CPU meshes created with
+``--xla_force_host_platform_device_count=N`` — the scaling tests and the
+driver's multi-chip dry-run use the same code path as a real pod slice.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays, pixel_ids
+from vrenderer_pathtracer_tpu.ops.tonemap import tonemap
+from vrenderer_pathtracer_tpu.render.integrator import render_pass
+from vrenderer_pathtracer_tpu.scene.scene import Scene
+
+TILE_AXIS = "tiles"
+SAMPLE_AXIS = "samples"
+
+
+def make_render_mesh(n_tiles: Optional[int] = None, n_samples: int = 1,
+                     devices=None) -> Mesh:
+    """A 2-D ``(tiles, samples)`` device mesh.
+
+    With one device this degenerates to a 1×1 mesh, so single-chip and pod
+    execution share the same jitted program — scaling changes only the mesh
+    (SURVEY §4.4).
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n_tiles is None:
+        n_tiles = n // n_samples
+    if n_tiles * n_samples != n:
+        raise ValueError(f"{n_tiles}x{n_samples} mesh != {n} devices")
+    dev_array = np.asarray(devices).reshape(n_tiles, n_samples)
+    return Mesh(dev_array, (TILE_AXIS, SAMPLE_AXIS))
+
+
+def _check_divisible(settings: RenderSettings, mesh: Mesh):
+    n_tiles = mesh.shape[TILE_AXIS]
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    if settings.n_pixels % n_tiles:
+        raise ValueError(f"{settings.n_pixels} pixels not divisible by {n_tiles} tiles")
+    if settings.samples_per_pass % n_samp and settings.samples_per_pass != 0:
+        # each sample-shard renders samples_per_pass/n_samp estimates
+        raise ValueError(
+            f"samples_per_pass={settings.samples_per_pass} not divisible by "
+            f"{n_samp} sample shards"
+        )
+
+
+def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
+                settings: RenderSettings, seed: int, local_spp: int):
+    """Per-shard body: render my pixel tile with my sample sub-batch."""
+    my_tile = lax.axis_index(TILE_AXIS)
+    my_samp = lax.axis_index(SAMPLE_AXIS)
+    n_tiles = lax.axis_size(TILE_AXIS)
+
+    # Reconstruct this shard's primary rays from the global pixel ids —
+    # ray gen is cheap and local, so nothing is scattered from the host.
+    tile_px = settings.n_pixels // n_tiles
+    all_o, all_d = generate_rays(camera, settings.width, settings.height)
+    ids = pixel_ids(settings.width, settings.height)
+    start = my_tile * tile_px
+    ray_o = lax.dynamic_slice_in_dim(all_o, start * 1, tile_px, axis=0)
+    ray_d = lax.dynamic_slice_in_dim(all_d, start * 1, tile_px, axis=0)
+    ids = lax.dynamic_slice_in_dim(ids, start, tile_px, axis=0)
+
+    local = settings.replace(samples_per_pass=local_spp)
+    rgb, depth = render_pass(
+        scene, local, ray_o, ray_d, ids, frame, fresnel_coef, fresnel_pow,
+        seed, sample_offset=my_samp * local_spp,
+    )
+    # Combine sample sub-batches: mean of means over disjoint RNG streams.
+    rgb = lax.pmean(rgb, SAMPLE_AXIS)
+    depth = lax.pmean(depth, SAMPLE_AXIS)
+    return rgb, depth
+
+
+def sharded_render_step(mesh: Mesh, settings: RenderSettings, seed: int = 0):
+    """Build a jitted progressive-pass function sharded over ``mesh``.
+
+    Returns ``step(scene, camera, accum, frame, fresnel_coef, fresnel_pow)
+    -> (accum', img, depth)`` where ``accum``/``img`` are sharded over the
+    pixel axis (tiles) and replicated over samples.
+    """
+    _check_divisible(settings, mesh)
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    local_spp = max(settings.samples_per_pass // n_samp, 1)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(TILE_AXIS), P(), P(), P()),
+        out_specs=(P(TILE_AXIS), P(TILE_AXIS), P(TILE_AXIS)),
+        check_vma=False,
+    )
+    def _body(scene, camera, accum, frame, fresnel_coef, fresnel_pow):
+        rgb, depth = _shard_pass(
+            scene, camera, frame, fresnel_coef, fresnel_pow, settings, seed,
+            local_spp,
+        )
+        accum = accum + rgb
+        img = tonemap(accum, frame, settings.gamma)
+        return accum, img, depth
+
+    return jax.jit(_body)
+
+
+def replicate(mesh: Mesh, tree):
+    """Put a pytree on every chip (the scene upload: replicated HBM)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_pixels(mesh: Mesh, tree):
+    """Shard leading (pixel) axis over the tile axis of the mesh."""
+    sharding = NamedSharding(mesh, P(TILE_AXIS))
+    return jax.device_put(tree, sharding)
+
+
+# ---------------------------------------------------------------------------
+# Inverse rendering: the distributed training step
+# ---------------------------------------------------------------------------
+
+class TrainParams(NamedTuple):
+    """Differentiable scene parameters for inverse rendering.
+
+    The reference has no training; differentiability is the new axis
+    (BASELINE north star: gradients w.r.t. camera, material, env map).
+    """
+
+    color: jnp.ndarray      # [N_spheres, 3] albedo
+    emission: jnp.ndarray   # [N_spheres, 3]
+    fresnel_coef: jnp.ndarray  # []
+    fresnel_pow: jnp.ndarray   # []
+
+    @classmethod
+    def from_scene(cls, scene: Scene, fresnel_coef=0.1, fresnel_pow=3.0):
+        return cls(
+            color=scene.spheres.color,
+            emission=scene.spheres.emission,
+            fresnel_coef=jnp.float32(fresnel_coef),
+            fresnel_pow=jnp.float32(fresnel_pow),
+        )
+
+
+def _apply_params(scene: Scene, params: TrainParams) -> Scene:
+    return scene._replace(
+        spheres=scene.spheres._replace(color=params.color, emission=params.emission)
+    )
+
+
+def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
+                       lr: float = 0.05):
+    """Build a jitted inverse-rendering SGD step sharded over ``mesh``.
+
+    ``step(params, scene, camera, target, frame) -> (params', loss)``:
+    renders with ``params`` grafted into ``scene``, L2 loss against the
+    (pixel-sharded) ``target`` image, gradients ``psum``-reduced over both
+    mesh axes (the gradient all-reduce rides ICI, overlapped with backward
+    by XLA), followed by an SGD update computed redundantly per chip.
+    """
+    _check_divisible(settings, mesh)
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    local_spp = max(settings.samples_per_pass // n_samp, 1)
+    inv_n = 1.0 / (settings.n_pixels * 3)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    def _step(params, scene, camera, target, frame):
+        def loss_fn(p):
+            rgb, _ = _shard_pass(
+                _apply_params(scene, p), camera, frame,
+                p.fresnel_coef, p.fresnel_pow, settings, seed, local_spp,
+            )
+            # Local mean-squared error over my pixel tile (already the
+            # sample-axis pmean, so this value is replicated over samples).
+            return jnp.sum((rgb - target) ** 2) * inv_n
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        # Under unchecked shard_map, psum transposes to psum, so the pmean
+        # on the forward path hands each sample shard the FULL cotangent:
+        # local grads are d(rgb_k)·g.  The gradient of the sample-MEAN,
+        # tile-SUM loss is therefore pmean over samples, psum over tiles.
+        grads = jax.tree.map(
+            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
+        )
+        loss = lax.psum(loss, TILE_AXIS)
+        params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
+        return params, loss
+
+    return jax.jit(_step)

@@ -237,19 +237,27 @@ def render_pass(
     fresnel_coef,
     fresnel_pow,
     seed: int = 0,
+    sample_offset=None,
 ):
     """One progressive pass: ``samples_per_pass`` estimates per pixel.
 
     Samples are batched into the lane dimension (B = N * S) so small frames
     still fill the VPU; reference equivalent is the ``kSamps`` loop at
     ``cuda/src/PathTracer.cu:839-855``.  Returns ``(rgb_mean [N,3], depth [N])``.
+
+    ``sample_offset`` shifts the sample-id counter stream — used when the
+    sample axis is sharded across chips so each chip draws disjoint RNG
+    streams (parallel/sharding.py).
     """
     n = ray_o.shape[0]
     s = settings.samples_per_pass
     big_o = jnp.tile(ray_o, (s, 1))
     big_d = jnp.tile(ray_d, (s, 1))
     big_ids = jnp.tile(pixel_ids, (s,))
-    sample_ids = jnp.repeat(jnp.arange(s, dtype=jnp.uint32), n)
+    base = jnp.arange(s, dtype=jnp.uint32)
+    if sample_offset is not None:
+        base = base + jnp.asarray(sample_offset, jnp.uint32)
+    sample_ids = jnp.repeat(base, n)
 
     rgb, depth = radiance(
         scene, settings, big_o, big_d, big_ids, sample_ids, frame,
