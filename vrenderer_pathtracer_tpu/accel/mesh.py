@@ -1,0 +1,68 @@
+"""Mesh packing: host SBVH output -> device-resident SoA arrays.
+
+TPU-native re-design of the reference's BVH flattener / GPU packer
+(``src/vRendererCuda.cpp:201-318``).  The reference packs Aila/Laine float4
+quads with bit-cast child indices and per-leaf triangle triplet streams
+terminated by a ``0x80000000`` sentinel; on TPU we keep the same *content*
+(duplicated per-leaf triangles, preorder nodes) but in plain SoA arrays with
+integer child records — gather-friendly, no bit tricks, static shapes.
+
+Triangles are stored per leaf slot in Möller–Trumbore form (v0, e1, e2)
+plus per-corner normals/tangents/uvs for barycentric interpolation
+(``cuda/src/PathTracer.cu:385-455``).  Arrays are padded with degenerate
+triangles (zero edges -> zero determinant -> never hit) so leaf gathers of
+``MAX_LEAF`` slots never read out of bounds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrenderer_pathtracer_tpu.native import FlatBVH, HostMesh, build_sbvh
+from vrenderer_pathtracer_tpu.scene.scene import MeshData
+
+# Leaf capacity: the builder (csrc/sbvh.cc kMaxLeaf) forces splits above this,
+# giving the traversal loop a static triangle-test bound.
+MAX_LEAF = 8
+# Traversal stack depth: builder switches to median splits at depth 48
+# (kSahDepthLimit), so tree depth — and thus pending-node count — stays
+# comfortably under this.
+STACK_DEPTH = 64
+
+
+def pack_mesh(mesh: HostMesh, pad_to: int = 128) -> MeshData:
+    """Build the SBVH and gather triangle data into leaf-slot order."""
+    bvh = build_sbvh(mesh.verts, mesh.tris)
+    return pack_from_bvh(mesh, bvh, pad_to)
+
+
+def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
+    order = bvh.tri_order  # [R] original tri index per leaf slot
+    tri = mesh.tris[order]  # [R,3] vertex ids
+    v0 = mesh.verts[tri[:, 0]]
+    v1 = mesh.verts[tri[:, 1]]
+    v2 = mesh.verts[tri[:, 2]]
+
+    def corners(attr):
+        return np.stack([attr[tri[:, 0]], attr[tri[:, 1]], attr[tri[:, 2]]], axis=1)
+
+    r = len(order)
+    t_pad = -(-max(r, 1) // pad_to) * pad_to + MAX_LEAF  # slack for leaf gathers
+
+    def pad(a, fill=0.0):
+        out = np.full((t_pad,) + a.shape[1:], fill, a.dtype)
+        out[:r] = a
+        return out
+
+    return MeshData(
+        nodes_f=jnp.asarray(bvh.nodes_f),
+        nodes_i=jnp.asarray(bvh.nodes_i),
+        tri_v0=jnp.asarray(pad(v0)),
+        tri_e1=jnp.asarray(pad(v1 - v0)),
+        tri_e2=jnp.asarray(pad(v2 - v0)),
+        tri_n=jnp.asarray(pad(corners(mesh.normals))),
+        tri_t=jnp.asarray(pad(corners(mesh.tangents))),
+        tri_uv=jnp.asarray(pad(corners(mesh.uvs))),
+        tri_count=jnp.int32(r),
+    )

@@ -1,0 +1,284 @@
+"""BVH traversal + mesh hit shading: the framework's hot loop.
+
+TPU-native re-design of the reference's SBVH megakernel traversal
+(``cuda/src/PathTracer.cu:269-463``).  The reference uses per-thread
+traversal stacks with warp votes and a postponed-leaf trick; the XLA version
+runs all ray lanes in lockstep through a ``lax.while_loop``: each iteration
+pops one node per lane, slab-tests both children, pushes inner children in
+near-to-far order, and resolves leaf children inline with a static
+``MAX_LEAF``-wide vectorized Möller–Trumbore test (masked lanes idle).
+A Pallas kernel with VMEM-resident scene data supersedes this path on TPU
+(accel/pallas_traverse.py) — this implementation is its numerics oracle.
+
+Differentiability (detached-hit convention, SURVEY §7): the while-loop
+traversal only produces the *discrete* winning triangle slot per lane
+(non-differentiable by construction); the hit attributes (t, barycentrics,
+point, interpolated normal/tangent/uv) are then **recomputed outside the
+loop** with pure differentiable ops from the gathered triangle — gradients
+flow to vertex data and ray parameters without differentiating the search.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.ops import texture as tex_ops
+from vrenderer_pathtracer_tpu.scene.scene import MeshData, Scene
+from vrenderer_pathtracer_tpu.scene.spheres import BRDF, DIFF
+
+# Triangle-test epsilon (reference: 3e-10 CUDA / 3e-4 CL — the divergence
+# between its own backends bounds the meaningful precision; we sit between).
+TRI_EPS = 1e-7
+
+
+class _TraversalState(NamedTuple):
+    sp: jnp.ndarray        # [B] int32 stack pointer
+    stack: jnp.ndarray     # [B, STACK_DEPTH] int32 pending node ids
+    best_t: jnp.ndarray    # [B] closest hit distance so far
+    best_slot: jnp.ndarray # [B] winning tri slot, -1 = none
+    iters: jnp.ndarray     # [] safety counter
+
+
+def _moller_trumbore(ray_o, ray_d, v0, e1, e2):
+    """Batched Möller–Trumbore over gathered triangles.
+
+    ray_o/ray_d: [B,3]; v0/e1/e2: [B,K,3].  Returns (t, u, v, ok) each [B,K].
+    Semantics follow ``cuda/include/RayIntersection.cuh:54-111`` (barycentric
+    u along e1, v along e2; double-sided).
+    """
+    d = ray_d[:, None, :]
+    o = ray_o[:, None, :]
+    pvec = jnp.cross(d, e2)
+    det = jnp.sum(e1 * pvec, axis=-1)
+    inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+    tvec = o - v0
+    u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+    qvec = jnp.cross(tvec, e1)
+    v = jnp.sum(d * qvec, axis=-1) * inv_det
+    t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+    ok = (
+        (jnp.abs(det) > TRI_EPS)
+        & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        & (t > TRI_EPS)
+    )
+    return t, u, v, ok
+
+
+def _slab_test(ray_o, inv_d, lo, hi, t_max):
+    """Robust slab test. lo/hi: [B,3]. Returns (hit [B], t_near [B])."""
+    t0 = (lo - ray_o) * inv_d
+    t1 = (hi - ray_o) * inv_d
+    t_near = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    t_far = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    t_near_c = jnp.maximum(t_near, 0.0)
+    t_far_c = jnp.minimum(t_far, t_max)
+    return t_near_c <= t_far_c, t_near
+
+
+def _leaf_intersect(mesh: MeshData, ray_o, ray_d, start, count, active, best_t,
+                    best_slot):
+    """Test up to MAX_LEAF triangles of one leaf child per lane."""
+    k = jnp.arange(MAX_LEAF, dtype=jnp.int32)
+    slots = start[:, None] + k[None, :]                    # [B,K]
+    valid = active[:, None] & (k[None, :] < count[:, None])
+    slots_safe = jnp.where(valid, slots, 0)
+    v0 = mesh.tri_v0[slots_safe]
+    e1 = mesh.tri_e1[slots_safe]
+    e2 = mesh.tri_e2[slots_safe]
+    t, _, _, ok = _moller_trumbore(ray_o, ray_d, v0, e1, e2)
+    ok = ok & valid & (t < best_t[:, None])
+    t = jnp.where(ok, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1)
+    t_min = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    slot_min = jnp.take_along_axis(slots_safe, j[:, None], axis=-1)[:, 0]
+    won = jnp.isfinite(t_min)
+    return jnp.where(won, t_min, best_t), jnp.where(won, slot_min, best_slot)
+
+
+def traverse(mesh: MeshData, ray_o, ray_d, t_max):
+    """Find the nearest triangle hit per ray lane.
+
+    Returns ``(slot [B] int32, t [B])`` with slot == -1 on miss.  The result
+    is detached (wrapped in stop_gradient by the caller's recompute).
+    """
+    b = ray_o.shape[0]
+    lanes = jnp.arange(b)
+    inv_d = 1.0 / jnp.where(jnp.abs(ray_d) > 1e-12,
+                            ray_d, jnp.where(ray_d >= 0, 1e-12, -1e-12))
+    max_iters = jnp.int32(4 * mesh.nodes_i.shape[0] + STACK_DEPTH)
+
+    init = _TraversalState(
+        sp=jnp.ones((b,), jnp.int32),
+        stack=jnp.zeros((b, STACK_DEPTH), jnp.int32),  # stack[0] = root = 0
+        best_t=jnp.asarray(t_max, jnp.float32) * jnp.ones((b,), jnp.float32),
+        best_slot=jnp.full((b,), -1, jnp.int32),
+        iters=jnp.int32(0),
+    )
+
+    def cond(s: _TraversalState):
+        return jnp.any(s.sp > 0) & (s.iters < max_iters)
+
+    def body(s: _TraversalState):
+        active = s.sp > 0
+        sp1 = jnp.maximum(s.sp - 1, 0)
+        node = jnp.where(active, s.stack[lanes, sp1], 0)
+        sp = jnp.where(active, sp1, s.sp)
+
+        nf = mesh.nodes_f[node]   # [B,12]
+        ni = mesh.nodes_i[node]   # [B,4]
+
+        best_t, best_slot = s.best_t, s.best_slot
+        hits, nears = [], []
+        for c in range(2):
+            lo = nf[:, 6 * c: 6 * c + 3]
+            hi = nf[:, 6 * c + 3: 6 * c + 6]
+            hit, t_near = _slab_test(ray_o, inv_d, lo, hi, best_t)
+            hit = hit & active & (ni[:, 2 * c + 1] >= 0)
+            hits.append(hit)
+            nears.append(t_near)
+            # Leaf child: resolve inline.
+            is_leaf = hit & (ni[:, 2 * c + 1] > 0)
+            best_t, best_slot = _leaf_intersect(
+                mesh, ray_o, ray_d, ni[:, 2 * c], ni[:, 2 * c + 1],
+                is_leaf, best_t, best_slot,
+            )
+
+        # Inner children: push in far-then-near order so near pops first.
+        push0 = hits[0] & (ni[:, 1] == 0)
+        push1 = hits[1] & (ni[:, 3] == 0)
+        both = push0 & push1
+        near0 = nears[0] <= nears[1]
+        c0, c1 = ni[:, 0], ni[:, 2]
+        first = jnp.where(both, jnp.where(near0, c1, c0),  # far child first
+                          jnp.where(push0, c0, c1))
+        second = jnp.where(near0, c0, c1)                  # near child on top
+        any_push = push0 | push1
+
+        idx_a = jnp.minimum(sp, STACK_DEPTH - 1)
+        idx_b = jnp.minimum(sp + both.astype(jnp.int32), STACK_DEPTH - 1)
+        stack = s.stack.at[lanes, idx_a].set(
+            jnp.where(any_push, first, s.stack[lanes, idx_a]))
+        stack = stack.at[lanes, idx_b].set(
+            jnp.where(any_push, jnp.where(both, second, first),
+                      stack[lanes, idx_b]))
+        sp = jnp.minimum(sp + push0 + push1, STACK_DEPTH - 1)
+
+        return _TraversalState(sp, stack, best_t, best_slot, s.iters + 1)
+
+    out = lax.while_loop(cond, body, init)
+    return out.best_slot, out.best_t
+
+
+def brute_force(mesh: MeshData, ray_o, ray_d, t_max):
+    """All-triangles oracle for traversal tests: O(B*T), CPU-sized only."""
+    v0 = mesh.tri_v0[None, :, :] * jnp.ones_like(ray_o[:, None, :1])
+    t, _, _, ok = _moller_trumbore(
+        ray_o, ray_d,
+        jnp.broadcast_to(mesh.tri_v0[None], (ray_o.shape[0],) + mesh.tri_v0.shape),
+        jnp.broadcast_to(mesh.tri_e1[None], (ray_o.shape[0],) + mesh.tri_e1.shape),
+        jnp.broadcast_to(mesh.tri_e2[None], (ray_o.shape[0],) + mesh.tri_e2.shape),
+    )
+    del v0
+    slots = jnp.arange(mesh.tri_v0.shape[0], dtype=jnp.int32)
+    ok = ok & (slots[None, :] < mesh.tri_count) & (t < jnp.asarray(t_max)[..., None])
+    t = jnp.where(ok, t, jnp.inf)
+    j = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    t_min = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
+    hit = jnp.isfinite(t_min)
+    return jnp.where(hit, j, -1), jnp.where(hit, t_min, jnp.asarray(t_max))
+
+
+def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
+                   prev):
+    """Differentiable hit-attribute recompute + reference shading semantics.
+
+    Reference leaf shading (``cuda/src/PathTracer.cu:385-455``): barycentric
+    uv/tangent interpolation; diffuse/specular maps gated by ``!kViewBRDF``;
+    smooth interpolated normal ONLY on the normal-map path, otherwise the
+    flat geometric face normal; emission 0; hit type BRDF or DIFF.
+    """
+    from vrenderer_pathtracer_tpu.render.integrator import HitData
+
+    mesh = scene.mesh
+    safe = jnp.maximum(slot, 0)
+    v0 = mesh.tri_v0[safe]
+    e1 = mesh.tri_e1[safe]
+    e2 = mesh.tri_e2[safe]
+
+    # Recompute (t, u, v) differentiably for the winning triangle.
+    t, u, v, _ = _moller_trumbore(
+        ray_o, ray_d, v0[:, None, :], e1[:, None, :], e2[:, None, :]
+    )
+    t, u, v = t[:, 0], u[:, 0], v[:, 0]
+    w = 1.0 - u - v
+    point = ray_o + ray_d * t[:, None]
+
+    bary = jnp.stack([w, u, v], axis=-1)[:, :, None]        # [B,3,1]
+    uv = jnp.sum(mesh.tri_uv[safe] * bary, axis=1)          # [B,2]
+    tangent = jnp.sum(mesh.tri_t[safe] * bary, axis=1)
+    tangent = tangent / jnp.maximum(
+        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
+
+    use_tex = not settings.use_brdf
+    if settings.has_diffuse_map and use_tex:
+        color = tex_ops.fetch_nearest(scene.diffuse_map, uv[:, 0], uv[:, 1])
+    else:
+        color = jnp.ones_like(point)
+
+    face_n = jnp.cross(-e1, -e2)  # cross(v0-v1, v0-v2), reference orientation
+    face_n = face_n / jnp.maximum(
+        jnp.linalg.norm(face_n, axis=-1, keepdims=True), 1e-20)
+    if settings.has_normal_map:
+        smooth_n = jnp.sum(mesh.tri_n[safe] * bary, axis=1)
+        smooth_n = smooth_n / jnp.maximum(
+            jnp.linalg.norm(smooth_n, axis=-1, keepdims=True), 1e-20)
+        texel = tex_ops.fetch_nearest(scene.normal_map, uv[:, 0], uv[:, 1])
+        n_ts = tex_ops.decode_normal_map(texel)
+        normal = tex_ops.apply_tbn(smooth_n, tangent, n_ts)
+    else:
+        normal = face_n
+
+    if settings.has_specular_map and use_tex:
+        spec = tex_ops.fetch_nearest(scene.specular_map, uv[:, 0], uv[:, 1])
+    else:
+        spec = jnp.zeros_like(point)
+
+    hit_type = jnp.full(t.shape, BRDF if settings.use_brdf else DIFF, jnp.int32)
+    closer = slot >= 0
+
+    def sel3(a, b):
+        return jnp.where(closer[:, None], a, b)
+
+    return HitData(
+        hit=prev.hit | closer,
+        t=jnp.where(closer, t, prev.t),
+        point=sel3(point, prev.point),
+        normal=sel3(normal, prev.normal),
+        tangent=sel3(tangent, prev.tangent),
+        color=sel3(color, prev.color),
+        spec_color=sel3(spec, prev.spec_color),
+        emission=sel3(jnp.zeros_like(point), prev.emission),
+        hit_type=jnp.where(closer, hit_type, prev.hit_type),
+    )
+
+
+def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
+    """Mesh intersection vs the running closest hit (integrator hook).
+
+    The search runs on detached rays (the winning slot is discrete); hit
+    attributes are recomputed differentiably in :func:`shade_mesh_hit`.
+    """
+    slot, _ = traverse(
+        scene.mesh,
+        lax.stop_gradient(ray_o),
+        lax.stop_gradient(ray_d),
+        lax.stop_gradient(prev.t),
+    )
+    slot = lax.stop_gradient(slot)
+    return shade_mesh_hit(scene, settings, ray_o, ray_d, slot, prev)

@@ -1,0 +1,138 @@
+"""ctypes bindings for the native host library (SBVH builder + loaders).
+
+Mirrors the reference's host/device split: algorithmically serious host code
+(SBVH src/SBVH.cpp, mesh import src/MeshLoader.cpp, MERL src/BRDFLoader.cpp,
+EXR src/NGLScene.cpp:205-231) runs native; everything device-side is JAX.
+"""
+
+from __future__ import annotations
+
+import ctypes
+from typing import NamedTuple
+
+import numpy as np
+
+from vrenderer_pathtracer_tpu.native.build import ensure_built
+
+_lib = None
+
+
+def _load():
+    global _lib
+    if _lib is not None:
+        return _lib
+    path = ensure_built()
+    lib = ctypes.CDLL(str(path))
+
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+
+    lib.vt_build_sbvh.restype = ctypes.c_int
+    lib.vt_build_sbvh.argtypes = [
+        c_fp, ctypes.c_int, c_ip, ctypes.c_int,
+        ctypes.POINTER(c_fp), ctypes.POINTER(c_ip), c_ip,
+        ctypes.POINTER(c_ip), c_ip,
+    ]
+    lib.vt_load_obj.restype = ctypes.c_int
+    lib.vt_load_obj.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(c_fp), ctypes.POINTER(c_fp), ctypes.POINTER(c_fp),
+        ctypes.POINTER(c_fp), c_ip, ctypes.POINTER(c_ip), c_ip,
+    ]
+    lib.vt_load_merl.restype = ctypes.c_int
+    lib.vt_load_merl.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip]
+    lib.vt_free.restype = None
+    lib.vt_free.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return lib
+
+
+def _take(ptr, shape, dtype, lib):
+    """Copy a malloc'd C array into numpy and free the C side."""
+    n = int(np.prod(shape))
+    ctype = ctypes.c_float if dtype == np.float32 else ctypes.c_int
+    arr = np.ctypeslib.as_array(ctypes.cast(ptr, ctypes.POINTER(ctype)), (n,))
+    out = np.array(arr, dtype=dtype).reshape(shape)
+    lib.vt_free(ptr)
+    return out
+
+
+class HostMesh(NamedTuple):
+    """Indexed triangle mesh as loaded (pre-BVH)."""
+
+    verts: np.ndarray     # [V,3] float32, centered at centroid
+    normals: np.ndarray   # [V,3]
+    tangents: np.ndarray  # [V,3]
+    uvs: np.ndarray       # [V,2] (v flipped, reference parity)
+    tris: np.ndarray      # [T,3] int32
+
+
+class FlatBVH(NamedTuple):
+    """SBVH in the TPU SoA layout (see csrc/sbvh.cc header comment)."""
+
+    nodes_f: np.ndarray    # [M,12] float32 — child AABBs (lo0,hi0,lo1,hi1)
+    nodes_i: np.ndarray    # [M,4]  int32   — (ref,count) per child
+    tri_order: np.ndarray  # [R] int32 — original tri index per leaf slot
+
+
+def load_obj(path: str) -> HostMesh:
+    lib = _load()
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+    pv, pn, pt, puv = c_fp(), c_fp(), c_fp(), c_fp()
+    ptris = c_ip()
+    nv, nt = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vt_load_obj(
+        str(path).encode(), ctypes.byref(pv), ctypes.byref(pn),
+        ctypes.byref(pt), ctypes.byref(puv), ctypes.byref(nv),
+        ctypes.byref(ptris), ctypes.byref(nt),
+    )
+    if rc != 0:
+        raise IOError(f"vt_load_obj({path}) failed with code {rc}")
+    v = nv.value
+    t = nt.value
+    return HostMesh(
+        verts=_take(pv, (v, 3), np.float32, lib),
+        normals=_take(pn, (v, 3), np.float32, lib),
+        tangents=_take(pt, (v, 3), np.float32, lib),
+        uvs=_take(puv, (v, 2), np.float32, lib),
+        tris=_take(ptris, (t, 3), np.int32, lib),
+    )
+
+
+def build_sbvh(verts: np.ndarray, tris: np.ndarray) -> FlatBVH:
+    lib = _load()
+    verts = np.ascontiguousarray(verts, np.float32)
+    tris = np.ascontiguousarray(tris, np.int32)
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+    pf, pi, po = c_fp(), c_ip(), c_ip()
+    n_nodes, n_refs = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vt_build_sbvh(
+        verts.ctypes.data_as(c_fp), len(verts),
+        tris.ctypes.data_as(c_ip), len(tris),
+        ctypes.byref(pf), ctypes.byref(pi), ctypes.byref(n_nodes),
+        ctypes.byref(po), ctypes.byref(n_refs),
+    )
+    if rc != 0:
+        raise RuntimeError(f"vt_build_sbvh failed with code {rc}")
+    m = n_nodes.value
+    r = n_refs.value
+    return FlatBVH(
+        nodes_f=_take(pf, (m, 12), np.float32, lib),
+        nodes_i=_take(pi, (m, 4), np.int32, lib),
+        tri_order=_take(po, (r,), np.int32, lib),
+    )
+
+
+def load_merl(path: str) -> np.ndarray:
+    """MERL table as [3, 90*90*180] float32 (reference scale factors NOT
+    applied here — they live in ops/brdf.py)."""
+    lib = _load()
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    pd = c_fp()
+    n = ctypes.c_int()
+    rc = lib.vt_load_merl(str(path).encode(), ctypes.byref(pd), ctypes.byref(n))
+    if rc != 0:
+        raise IOError(f"vt_load_merl({path}) failed with code {rc}")
+    return _take(pd, (3, n.value), np.float32, lib)

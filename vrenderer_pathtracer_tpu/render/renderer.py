@@ -127,6 +127,14 @@ class Renderer:
     def init_mesh(self, mesh: MeshData):
         self._mutate(mesh=mesh)
 
+    def load_mesh(self, path: str):
+        """Load an OBJ, build the SBVH, upload (reference ``loadMesh`` slot:
+        ``src/NGLScene.cpp:345-366`` — Assimp import + SBVH + GPU pack)."""
+        from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+        from vrenderer_pathtracer_tpu.native import load_obj
+
+        self.init_mesh(pack_mesh(load_obj(path)))
+
     def use_brdf(self, enable: bool):
         self.settings = self.settings.replace(use_brdf=enable)
         self._mutate()

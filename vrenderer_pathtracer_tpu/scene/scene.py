@@ -23,14 +23,24 @@ from vrenderer_pathtracer_tpu.scene.spheres import SphereSet, build_sphere_set
 
 
 class MeshData(NamedTuple):
-    """Flattened SBVH + triangle streams (Aila/Laine layout, see accel/)."""
+    """Flattened SBVH + leaf-ordered triangle streams (see accel/mesh.py).
 
-    bvh_nodes: jnp.ndarray   # [M,16] float32 — 4x float4 per inner node
-    tri_verts: jnp.ndarray   # [T,3,3] float32 — woopified or raw vertices
-    tri_normals: jnp.ndarray # [T,3,3]
-    tri_tangents: jnp.ndarray# [T,3,3]
-    tri_uvs: jnp.ndarray     # [T,3,2]
-    tri_count: jnp.ndarray   # [] int32 — valid triangles (rest is padding)
+    Node encoding (``nodes_i[n] = (c0, n0, c1, n1)``): count 0 -> child is
+    inner node ``c``; count > 0 -> leaf of ``n`` tri slots starting at ``c``;
+    count < 0 -> empty child (its AABB is inverted so slab tests miss).
+    Triangle slots are duplicated per leaf (spatial splits), stored in
+    Möller–Trumbore (v0, e1, e2) form with per-corner attributes.
+    """
+
+    nodes_f: jnp.ndarray   # [M,12] float32 — child AABBs (lo0,hi0,lo1,hi1)
+    nodes_i: jnp.ndarray   # [M,4]  int32   — (ref,count) per child
+    tri_v0: jnp.ndarray    # [T,3] float32
+    tri_e1: jnp.ndarray    # [T,3]
+    tri_e2: jnp.ndarray    # [T,3]
+    tri_n: jnp.ndarray     # [T,3,3] per-corner normals
+    tri_t: jnp.ndarray     # [T,3,3] per-corner tangents
+    tri_uv: jnp.ndarray    # [T,3,2] per-corner uvs
+    tri_count: jnp.ndarray # [] int32 — valid slots (rest is padding)
 
 
 class Scene(NamedTuple):
