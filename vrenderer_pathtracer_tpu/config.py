@@ -48,6 +48,7 @@ class RenderSettings:
     has_brdf: bool = False
     has_mesh: bool = False
     has_hdr: bool = True
+    use_fxaa: bool = False
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so

@@ -41,6 +41,10 @@ def _load():
     ]
     lib.vt_load_merl.restype = ctypes.c_int
     lib.vt_load_merl.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip]
+    lib.vt_load_exr.restype = ctypes.c_int
+    lib.vt_load_exr.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip, c_ip]
+    lib.vt_write_exr.restype = ctypes.c_int
+    lib.vt_write_exr.argtypes = [ctypes.c_char_p, c_fp, ctypes.c_int, ctypes.c_int]
     lib.vt_free.restype = None
     lib.vt_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -123,6 +127,35 @@ def build_sbvh(verts: np.ndarray, tris: np.ndarray) -> FlatBVH:
         nodes_i=_take(pi, (m, 4), np.int32, lib),
         tri_order=_take(po, (r,), np.int32, lib),
     )
+
+
+def load_exr(path: str) -> np.ndarray:
+    """Read an EXR (scanline, half/float, none/zip) -> [H,W,3] float32.
+
+    Native replacement for the reference's OpenEXR RgbaInputFile path
+    (src/NGLScene.cpp:368-401)."""
+    lib = _load()
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    pd = c_fp()
+    w, h = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vt_load_exr(str(path).encode(), ctypes.byref(pd),
+                         ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise IOError(f"vt_load_exr({path}) failed with code {rc}")
+    return _take(pd, (h.value, w.value, 3), np.float32, lib)
+
+
+def write_exr(path: str, rgb: np.ndarray) -> None:
+    """Write [H,W,3] float32 as an uncompressed half EXR."""
+    lib = _load()
+    rgb = np.ascontiguousarray(rgb, np.float32)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError(f"expected [H,W,3], got {rgb.shape}")
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.vt_write_exr(str(path).encode(), rgb.ctypes.data_as(c_fp),
+                          rgb.shape[1], rgb.shape[0])
+    if rc != 0:
+        raise IOError(f"vt_write_exr({path}) failed with code {rc}")
 
 
 def load_merl(path: str) -> np.ndarray:

@@ -1,0 +1,313 @@
+// Minimal OpenEXR scanline reader/writer (no OpenEXR library dependency).
+//
+// Host-native counterpart of the reference's HDRI ingestion, which uses the
+// OpenEXR RgbaInputFile API inline in the GL layer
+// (src/NGLScene.cpp:205-231,368-401).  This implementation reads the subset
+// real-world lat-long HDRIs use: single-part scanline images, HALF or FLOAT
+// channels, NONE / ZIPS / ZIP compression.  Output is planar-interleaved
+// RGB float32 rows (top-down, matching the reference's Rgba buffer order).
+// The writer emits uncompressed FLOAT scanlines (for golden files and
+// render output).
+
+#include <zlib.h>
+
+#include <algorithm>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+
+namespace vtrace {
+namespace {
+
+constexpr uint32_t kMagic = 20000630;  // 0x762f3101 little-endian
+
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h >> 15) << 31;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t mant = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (mant == 0) {
+      bits = sign;
+    } else {  // subnormal: normalize
+      int e = -1;
+      uint32_t m = mant;
+      do {
+        ++e;
+        m <<= 1;
+      } while (!(m & 0x400));
+      bits = sign | ((uint32_t)(127 - 15 - e) << 23) | ((m & 0x3FF) << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (mant << 13);  // inf / nan
+  } else {
+    bits = sign | ((exp - 15 + 127) << 23) | (mant << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+uint16_t float_to_half(float f) {
+  uint32_t bits;
+  std::memcpy(&bits, &f, 4);
+  uint32_t sign = (bits >> 16) & 0x8000;
+  int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
+  uint32_t mant = bits & 0x7FFFFF;
+  if (exp <= 0) return (uint16_t)sign;  // flush to zero
+  if (exp >= 31) return (uint16_t)(sign | 0x7C00);
+  return (uint16_t)(sign | (exp << 10) | (mant >> 13));
+}
+
+struct Channel {
+  std::string name;
+  int type;  // 0 UINT, 1 HALF, 2 FLOAT
+};
+
+struct Reader {
+  FILE* f = nullptr;
+  ~Reader() {
+    if (f) std::fclose(f);
+  }
+  bool read(void* p, size_t n) { return std::fread(p, 1, n, f) == n; }
+  template <typename T>
+  bool get(T* v) {
+    return read(v, sizeof(T));
+  }
+  bool get_string(std::string* s) {
+    s->clear();
+    for (;;) {
+      char c;
+      if (!get(&c)) return false;
+      if (c == 0) return true;
+      if (s->size() > 255) return false;
+      s->push_back(c);
+    }
+  }
+};
+
+// EXR zip post-processing: delta-decode then de-interleave (the inverse of
+// the OpenEXR "predictor + interleave" pre-compression transform).
+void exr_unfilter(std::vector<uint8_t>& data) {
+  for (size_t i = 1; i < data.size(); ++i)
+    data[i] = (uint8_t)(data[i] + data[i - 1] - 128);
+  std::vector<uint8_t> out(data.size());
+  const uint8_t* t1 = data.data();
+  const uint8_t* t2 = data.data() + (data.size() + 1) / 2;
+  for (size_t i = 0; i < data.size(); ++i)
+    out[i] = (i % 2 == 0) ? *t1++ : *t2++;
+  data.swap(out);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Read an EXR into [h*w*3] float32 RGB (top-down). Returns 0 on success,
+// >0 error codes: 1 open, 2 magic/version, 3 header parse, 4 unsupported
+// (tiled/deep/compression/channels), 5 data corrupt.
+int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
+  Reader r;
+  r.f = std::fopen(path, "rb");
+  if (!r.f) return 1;
+  uint32_t magic, version;
+  if (!r.get(&magic) || !r.get(&version) || magic != kMagic) return 2;
+  // Reject tiled (0x200), deep (0x800), multipart (0x1000); long-name flag
+  // (0x400) only relaxes the attribute-name limit and parses fine.
+  if (version & (0x200 | 0x800 | 0x1000)) return 4;
+
+  std::vector<Channel> channels;
+  int32_t dw[4] = {0, 0, 0, 0};
+  uint8_t compression = 0;
+
+  for (;;) {
+    std::string name;
+    if (!r.get_string(&name)) return 3;
+    if (name.empty()) break;
+    std::string type;
+    if (!r.get_string(&type)) return 3;
+    int32_t size;
+    if (!r.get(&size) || size < 0 || size > (1 << 26)) return 3;
+    std::vector<uint8_t> buf(size);
+    if (!r.read(buf.data(), size)) return 3;
+
+    if (name == "channels" && type == "chlist") {
+      size_t p = 0;
+      while (p < buf.size() && buf[p] != 0) {
+        std::string cn;
+        while (p < buf.size() && buf[p] != 0) cn.push_back((char)buf[p++]);
+        ++p;  // skip nul
+        if (p + 16 > buf.size()) return 3;
+        int32_t ptype;
+        std::memcpy(&ptype, &buf[p], 4);
+        channels.push_back({cn, ptype});
+        p += 16;  // type, pLinear+pad, xSampling, ySampling
+      }
+    } else if (name == "dataWindow" && type == "box2i") {
+      if (size != 16) return 3;
+      std::memcpy(dw, buf.data(), 16);
+    } else if (name == "compression" && type == "compression") {
+      compression = buf[0];
+    }
+  }
+
+  const int w = dw[2] - dw[0] + 1;
+  const int h = dw[3] - dw[1] + 1;
+  if (w <= 0 || h <= 0 || (int64_t)w * h > (int64_t)1 << 30) return 3;
+  // compression: 0 NONE, 2 ZIPS (1 line), 3 ZIP (16 lines)
+  int lines_per_block;
+  if (compression == 0)
+    lines_per_block = 1;
+  else if (compression == 2)
+    lines_per_block = 1;
+  else if (compression == 3)
+    lines_per_block = 16;
+  else
+    return 4;
+
+  // Channels appear in the file sorted by name; find R,G,B (fall back to
+  // Y for grayscale).
+  int idx_rgb[3] = {-1, -1, -1};
+  size_t row_bytes = 0;
+  std::vector<size_t> ch_offset(channels.size());
+  std::vector<int> ch_size(channels.size());
+  for (size_t c = 0; c < channels.size(); ++c) {
+    if (channels[c].type == 0) return 4;  // UINT channels unsupported
+    ch_offset[c] = row_bytes;
+    ch_size[c] = channels[c].type == 1 ? 2 : 4;
+    row_bytes += (size_t)w * ch_size[c];
+    if (channels[c].name == "R") idx_rgb[0] = (int)c;
+    if (channels[c].name == "G") idx_rgb[1] = (int)c;
+    if (channels[c].name == "B") idx_rgb[2] = (int)c;
+    if (channels[c].name == "Y" && idx_rgb[0] < 0) {
+      idx_rgb[0] = idx_rgb[1] = idx_rgb[2] = (int)c;
+    }
+  }
+  if (idx_rgb[0] < 0 || idx_rgb[1] < 0 || idx_rgb[2] < 0) return 4;
+
+  const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
+  std::vector<uint64_t> offsets(n_blocks);
+  if (!r.read(offsets.data(), 8 * (size_t)n_blocks)) return 5;
+
+  float* rgb = (float*)std::malloc(sizeof(float) * 3 * (size_t)w * h);
+  if (!rgb) return 5;
+
+  std::vector<uint8_t> raw, packed;
+  for (int b = 0; b < n_blocks; ++b) {
+    if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
+    int32_t y0, dsize;
+    if (!r.get(&y0) || !r.get(&dsize) || dsize < 0) goto corrupt;
+    y0 -= dw[1];
+    const int nlines = std::min(lines_per_block, h - y0);
+    const size_t want = row_bytes * (size_t)nlines;
+    packed.resize(dsize);
+    if (!r.read(packed.data(), dsize)) goto corrupt;
+    if (compression == 0 || (size_t)dsize >= want) {
+      raw.assign(packed.begin(), packed.begin() + std::min((size_t)dsize, want));
+      if (raw.size() < want) goto corrupt;
+    } else {
+      raw.resize(want);
+      uLongf dst_len = (uLongf)want;
+      if (uncompress(raw.data(), &dst_len, packed.data(), (uLong)dsize) != Z_OK ||
+          dst_len != want)
+        goto corrupt;
+      exr_unfilter(raw);
+    }
+    for (int line = 0; line < nlines; ++line) {
+      const uint8_t* row = raw.data() + row_bytes * (size_t)line;
+      const int y = y0 + line;
+      if (y < 0 || y >= h) continue;
+      for (int k = 0; k < 3; ++k) {
+        const int c = idx_rgb[k];
+        const uint8_t* src = row + ch_offset[c];
+        float* dst = rgb + ((size_t)y * w) * 3 + k;
+        if (ch_size[c] == 2) {
+          const uint16_t* hp = (const uint16_t*)src;
+          for (int x = 0; x < w; ++x, dst += 3) *dst = half_to_float(hp[x]);
+        } else {
+          const float* fp = (const float*)src;
+          for (int x = 0; x < w; ++x, dst += 3) *dst = fp[x];
+        }
+      }
+    }
+  }
+  *out_rgb = rgb;
+  *out_w = w;
+  *out_h = h;
+  return 0;
+corrupt:
+  std::free(rgb);
+  return 5;
+}
+
+// Write [h*w*3] float32 RGB as an uncompressed HALF scanline EXR.
+int vt_write_exr(const char* path, const float* rgb, int w, int h) {
+  FILE* f = std::fopen(path, "wb");
+  if (!f) return 1;
+  auto put = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
+  auto put_str = [&](const char* s) { put(s, std::strlen(s) + 1); };
+  auto put_attr = [&](const char* n, const char* t, const void* d, int32_t sz) {
+    put_str(n);
+    put_str(t);
+    put(&sz, 4);
+    put(d, sz);
+  };
+  uint32_t magic = kMagic, version = 2;
+  put(&magic, 4);
+  put(&version, 4);
+
+  // chlist: B, G, R (alphabetical), HALF
+  std::vector<uint8_t> chl;
+  for (const char* cn : {"B", "G", "R"}) {
+    for (const char* p = cn; *p; ++p) chl.push_back(*p);
+    chl.push_back(0);
+    int32_t vals[4] = {1 /*HALF*/, 0 /*pLinear+pad*/, 1, 1};
+    const uint8_t* vp = (const uint8_t*)vals;
+    chl.insert(chl.end(), vp, vp + 16);
+  }
+  chl.push_back(0);
+  put_attr("channels", "chlist", chl.data(), (int32_t)chl.size());
+  uint8_t comp = 0;
+  put_attr("compression", "compression", &comp, 1);
+  int32_t box[4] = {0, 0, w - 1, h - 1};
+  put_attr("dataWindow", "box2i", box, 16);
+  put_attr("displayWindow", "box2i", box, 16);
+  uint8_t lineorder = 0;
+  put_attr("lineOrder", "lineOrder", &lineorder, 1);
+  float par = 1.f;
+  put_attr("pixelAspectRatio", "float", &par, 4);
+  float swc[2] = {0.f, 0.f};
+  put_attr("screenWindowCenter", "v2f", swc, 8);
+  float sww = 1.f;
+  put_attr("screenWindowWidth", "float", &sww, 4);
+  uint8_t end = 0;
+  put(&end, 1);
+
+  const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
+  const uint64_t table_pos = (uint64_t)ftell(f);
+  const uint64_t data_start = table_pos + 8ull * h;
+  for (int y = 0; y < h; ++y) {
+    uint64_t off = data_start + (uint64_t)y * (8 + row_bytes);
+    put(&off, 8);
+  }
+  std::vector<uint16_t> row(3 * (size_t)w);
+  for (int y = 0; y < h; ++y) {
+    int32_t yy = y;
+    int32_t sz = (int32_t)row_bytes;
+    put(&yy, 4);
+    put(&sz, 4);
+    // channels alphabetical: B, G, R
+    for (int x = 0; x < w; ++x) row[x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 2]);
+    for (int x = 0; x < w; ++x) row[w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 1]);
+    for (int x = 0; x < w; ++x) row[2 * w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3]);
+    put(row.data(), row_bytes);
+  }
+  std::fclose(f);
+  return 0;
+}
+
+}  // extern "C"
+}  // namespace vtrace

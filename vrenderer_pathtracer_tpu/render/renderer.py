@@ -38,7 +38,8 @@ DIFFUSE, NORMAL, SPECULAR = 0, 1, 2  # texture types (reference vTextureType)
 
 
 @functools.partial(jax.jit, static_argnames=("settings", "seed"))
-def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow, settings, seed):
+def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow,
+                 fxaa_params, settings, seed):
     ray_o, ray_d = generate_rays(camera, settings.width, settings.height)
     ids = pixel_ids(settings.width, settings.height)
     rgb, depth = render_pass(
@@ -46,6 +47,12 @@ def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow, setting
     )
     accum = accum + rgb
     img = tonemap(accum, frame, settings.gamma)
+    if settings.use_fxaa:
+        from vrenderer_pathtracer_tpu.ops.fxaa import fxaa
+
+        h, w = settings.height, settings.width
+        subpix, edge_thr = fxaa_params
+        img = fxaa(img.reshape(h, w, 3), subpix, edge_thr).reshape(-1, 3)
     return accum, img, depth
 
 
@@ -61,6 +68,9 @@ class Renderer:
         self.seed = seed
         self.fresnel_coef = jnp.float32(0.1)
         self.fresnel_pow = jnp.float32(3.0)
+        # FXAA slider state (reference defaults, src/NGLScene.cpp:42-44).
+        self.fxaa_subpix_quality = jnp.float32(0.75)
+        self.fxaa_edge_threshold = jnp.float32(0.166)
         self.frame = 1
         self._accum = None
         self.clear_buffer()
@@ -101,7 +111,12 @@ class Renderer:
         self.set_camera(self.camera._replace(**kw))
 
     def load_hdr(self, hdr):
-        """Set the lat-long environment map ([H,W,3] float, linear)."""
+        """Set the lat-long environment map: [H,W,3] float array or an EXR
+        path (reference ``loadHDR``, ``src/NGLScene.cpp:368-401``)."""
+        if isinstance(hdr, (str, bytes)) or hasattr(hdr, "__fspath__"):
+            from vrenderer_pathtracer_tpu.native import load_exr
+
+            hdr = load_exr(hdr)
         self._mutate(hdr=jnp.asarray(hdr, jnp.float32))
 
     def load_texture(self, image, gamma: float = 2.2, texture_type: int = DIFFUSE):
@@ -121,7 +136,12 @@ class Renderer:
             raise ValueError(f"unknown texture type {texture_type}")
 
     def load_brdf(self, table):
-        """Set a MERL table, shape [3, 90*90*180] (see io/merl.py)."""
+        """Set a MERL table: [3, 90*90*180] array or a .binary path
+        (reference ``loadBRDF``, ``src/BRDFLoader.cpp:15-50``)."""
+        if isinstance(table, (str, bytes)) or hasattr(table, "__fspath__"):
+            from vrenderer_pathtracer_tpu.native import load_merl
+
+            table = load_merl(table)
         self._mutate(brdf=jnp.asarray(table, jnp.float32))
 
     def init_mesh(self, mesh: MeshData):
@@ -147,6 +167,17 @@ class Renderer:
         self.settings = self.settings.replace(use_cornell_box=enable)
         self.scene = self.scene._replace(spheres=build_sphere_set(enable))
         self._mutate()
+
+    def toggle_fxaa(self, enable: bool):
+        """Display-time toggle: does NOT clear accumulation (the reference
+        only switches the display shader, ``src/NGLScene.cpp:266-310``)."""
+        self.settings = self.settings.replace(use_fxaa=enable)
+
+    def set_fxaa_params(self, *, subpix_quality=None, edge_threshold=None):
+        if subpix_quality is not None:
+            self.fxaa_subpix_quality = jnp.float32(subpix_quality)
+        if edge_threshold is not None:
+            self.fxaa_edge_threshold = jnp.float32(edge_threshold)
 
     def set_fresnel_coef(self, value: float):
         self.fresnel_coef = jnp.float32(value)
@@ -175,6 +206,7 @@ class Renderer:
             jnp.uint32(self.frame),
             self.fresnel_coef,
             self.fresnel_pow,
+            (self.fxaa_subpix_quality, self.fxaa_edge_threshold),
             self.settings,
             self.seed,
         )
