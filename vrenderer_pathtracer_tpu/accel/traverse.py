@@ -273,8 +273,16 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
 
     The search runs on detached rays (the winning slot is discrete); hit
     attributes are recomputed differentiably in :func:`shade_mesh_hit`.
+    The backend is the resolved ``settings.traversal``: the Pallas packet
+    kernel on VMEM-resident TPU meshes, the XLA lockstep loop elsewhere.
     """
-    slot, _ = traverse(
+    if settings.traversal == "pallas":
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
+
+        search = traverse_packets
+    else:
+        search = traverse
+    slot, _ = search(
         scene.mesh,
         lax.stop_gradient(ray_o),
         lax.stop_gradient(ray_d),

@@ -49,6 +49,10 @@ class RenderSettings:
     has_mesh: bool = False
     has_hdr: bool = True
     use_fxaa: bool = False
+    # BVH traversal backend: "auto" resolves to "pallas" (packet kernel,
+    # VMEM-resident scene) on TPU-resident meshes that fit, else "xla"
+    # (lockstep while_loop).  Resolved in scene.settings_for_scene.
+    traversal: str = "auto"
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so

@@ -59,7 +59,21 @@ class Scene(NamedTuple):
 
 
 def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings:
-    """Derive the ``has_*`` static flags from which assets are present."""
+    """Derive the ``has_*`` static flags from which assets are present, and
+    resolve the "auto" traversal backend from where the mesh actually lives
+    (Pallas packet kernel for TPU-resident meshes that fit VMEM)."""
+    traversal = settings.traversal
+    if traversal == "auto":
+        traversal = "xla"
+        if scene.mesh is not None:
+            from vrenderer_pathtracer_tpu.accel.pallas_traverse import fits_vmem
+
+            try:
+                platforms = {d.platform for d in scene.mesh.nodes_f.devices()}
+            except (AttributeError, TypeError):  # tracer / numpy input
+                platforms = set()
+            if platforms == {"tpu"} and fits_vmem(scene.mesh):
+                traversal = "pallas"
     return settings.replace(
         has_diffuse_map=scene.diffuse_map is not None,
         has_normal_map=scene.normal_map is not None,
@@ -67,4 +81,5 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
         has_brdf=scene.brdf is not None,
         has_mesh=scene.mesh is not None,
         has_hdr=scene.hdr is not None,
+        traversal=traversal,
     )
