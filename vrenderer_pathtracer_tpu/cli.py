@@ -72,18 +72,9 @@ def _add_render_args(p: argparse.ArgumentParser):
 
 
 def _load_image(path):
-    import numpy as np
-    from PIL import Image
+    from vrenderer_pathtracer_tpu.io import load_image
 
-    return np.asarray(Image.open(path).convert("RGB"), np.float32) / 255.0
-
-
-def _save_png(path, img01):
-    import numpy as np
-    from PIL import Image
-
-    arr = (np.clip(img01, 0, 1) * 255.0 + 0.5).astype(np.uint8)
-    Image.fromarray(arr).save(path)
+    return load_image(path)
 
 
 def cmd_render(args) -> int:
@@ -162,8 +153,10 @@ def _render_body(args) -> int:
         print(f"resumed at {r.samples_per_pixel} spp", file=sys.stderr)
     img, depth = sched.run()
 
+    from vrenderer_pathtracer_tpu.io import save_depth_png, save_png
+
     if args.out:
-        _save_png(args.out, img[::-1])  # y-up -> image row order
+        save_png(args.out, img)
         if not args.quiet:
             print(f"wrote {args.out}", file=sys.stderr)
     if args.out_exr:
@@ -175,8 +168,7 @@ def _render_body(args) -> int:
         if not args.quiet:
             print(f"wrote {args.out_exr}", file=sys.stderr)
     if args.depth_out:
-        _save_png(args.depth_out, np.repeat(
-            (1.0 - depth)[::-1, :, None], 3, axis=2))
+        save_depth_png(args.depth_out, depth)
         if not args.quiet:
             print(f"wrote {args.depth_out}", file=sys.stderr)
     if not (args.out or args.out_exr or args.depth_out):
