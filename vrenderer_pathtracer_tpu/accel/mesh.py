@@ -31,8 +31,23 @@ MAX_LEAF = 8
 STACK_DEPTH = 64
 
 
-def pack_mesh(mesh: HostMesh, pad_to: int = 128) -> MeshData:
-    """Build the SBVH and gather triangle data into leaf-slot order."""
+def pack_mesh(mesh: HostMesh, pad_to: int = 128, paged: bool | None = None) -> MeshData:
+    """Build the SBVH and gather triangle data into leaf-slot order.
+
+    ``paged=None`` (auto) switches to the two-level paged layout
+    (accel/paged.py) when the single-level arrays would overflow VMEM for
+    the Pallas packet kernel; True/False force the choice.
+    """
+    if paged is None:
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import VMEM_BUDGET_BYTES
+
+        # Rough single-level footprint: nodes ~ tris/3 (x64B) + 3x12B/tri.
+        est = 64 * (len(mesh.tris) // 3 + 1) + 3 * 16 * int(1.3 * len(mesh.tris))
+        paged = est >= VMEM_BUDGET_BYTES
+    if paged:
+        from vrenderer_pathtracer_tpu.accel.paged import pack_mesh_paged
+
+        return pack_mesh_paged(mesh)
     bvh = build_sbvh(mesh.verts, mesh.tris)
     return pack_from_bvh(mesh, bvh, pad_to)
 

@@ -1,0 +1,122 @@
+"""Paged mesh packing: two-level acceleration for VMEM-exceeding meshes.
+
+The single-level packet kernel (pallas_traverse.py) needs the whole scene in
+VMEM (~16MB/core), capping meshes around 300k leaf triangles.  For larger
+scenes (BASELINE config 5: ~500k tris) the mesh is split into spatial
+**pages**: triangles are Morton-sorted by centroid, chunked into fixed-size
+pages, and each page gets its own SBVH from the native builder.  The Pallas
+paged kernel (pallas_paged.py) then streams page node/triangle arrays
+HBM -> VMEM through the pipelined grid (double-buffered by the Pallas
+runtime) while each ray block stays VMEM-resident, testing its rays against
+every page whose bbox it can possibly hit.
+
+The reference has no counterpart (its GPU held the whole scene, and its max
+tested scenes were far smaller); this is the TPU-native answer to "scene
+bigger than fast memory", the same shape as its host->device re-upload
+strategy taken one level down the hierarchy.
+
+Shading-side triangle attributes stay in one flat global array (slots are
+``page * page_tris + local``), so the differentiable hit recompute
+(traverse.shade_mesh_hit) is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrenderer_pathtracer_tpu.native import HostMesh, build_sbvh
+from vrenderer_pathtracer_tpu.scene.scene import MeshData, PagedNodes
+
+PAGE_TRIS = 4096  # triangles per page (leaf-ordered, padded with degenerates)
+
+
+def _morton3(x: np.ndarray) -> np.ndarray:
+    """30-bit Morton codes from [N,3] coordinates normalized to [0,1)."""
+    q = np.clip((x * 1024.0).astype(np.uint64), 0, 1023)
+
+    def spread(v):
+        v = (v | (v << 16)) & 0x030000FF
+        v = (v | (v << 8)) & 0x0300F00F
+        v = (v | (v << 4)) & 0x030C30C3
+        v = (v | (v << 2)) & 0x09249249
+        return v
+
+    return (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+
+
+def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
+    """Build a paged MeshData (flat page-blocked attribute arrays + paged
+    node arrays).  Per-page BVHs use object splits only, so page ref counts
+    never exceed the fixed slot budget."""
+    tris = mesh.tris
+    centroids = mesh.verts[tris].mean(axis=1)
+    lo = centroids.min(axis=0)
+    span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
+    order = np.argsort(_morton3((centroids - lo) / span), kind="stable")
+
+    n_pages = -(-len(tris) // page_tris)
+    pages_f, pages_i, bboxes = [], [], []
+    slot_v0 = np.zeros((n_pages * page_tris, 3), np.float32)
+    slot_e1 = np.zeros_like(slot_v0)
+    slot_e2 = np.zeros_like(slot_v0)
+    slot_n = np.zeros((n_pages * page_tris, 3, 3), np.float32)
+    slot_t = np.zeros_like(slot_n)
+    slot_uv = np.zeros((n_pages * page_tris, 3, 2), np.float32)
+
+    total_refs = 0
+    for p in range(n_pages):
+        sel = order[p * page_tris: (p + 1) * page_tris]
+        page_tri = tris[sel]
+        bvh = build_sbvh(mesh.verts, page_tri, allow_spatial=False)
+        pages_f.append(bvh.nodes_f)
+        pages_i.append(bvh.nodes_i)
+        ref = page_tri[bvh.tri_order]  # [R,3] vertex ids, page-local order
+        r = len(ref)
+        assert r == len(page_tri), "object-only BVH must not duplicate refs"
+        base = p * page_tris
+        v0 = mesh.verts[ref[:, 0]]
+        slot_v0[base: base + r] = v0
+        slot_e1[base: base + r] = mesh.verts[ref[:, 1]] - v0
+        slot_e2[base: base + r] = mesh.verts[ref[:, 2]] - v0
+        for k in range(3):
+            slot_n[base: base + r, k] = mesh.normals[ref[:, k]]
+            slot_t[base: base + r, k] = mesh.tangents[ref[:, k]]
+            slot_uv[base: base + r, k] = mesh.uvs[ref[:, k]]
+        total_refs += r
+        pv = mesh.verts[page_tri.reshape(-1)]
+        bb = np.concatenate([pv.min(axis=0), pv.max(axis=0), [0.0, 0.0]])
+        bboxes.append(bb.astype(np.float32))
+
+    npp = max(f.shape[0] for f in pages_f)
+    npp = -(-npp // 8) * 8  # sublane-align node rows
+    nf = np.zeros((n_pages, npp, 12), np.float32)
+    ni = np.zeros((n_pages, npp, 4), np.int32)
+    for p in range(n_pages):
+        m = pages_f[p].shape[0]
+        nf[p, :m] = pages_f[p]
+        ni[p, :m] = pages_i[p]
+        # Padding rows: children marked empty with inverted boxes.
+        nf[p, m:, 0:3] = 1.0
+        nf[p, m:, 3:6] = -1.0
+        nf[p, m:, 6:9] = 1.0
+        nf[p, m:, 9:12] = -1.0
+        ni[p, m:, 1] = -1
+        ni[p, m:, 3] = -1
+
+    return MeshData(
+        nodes_f=jnp.zeros((1, 12), jnp.float32),   # unused in paged mode
+        nodes_i=jnp.zeros((1, 4), jnp.int32),
+        tri_v0=jnp.asarray(slot_v0),
+        tri_e1=jnp.asarray(slot_e1),
+        tri_e2=jnp.asarray(slot_e2),
+        tri_n=jnp.asarray(slot_n),
+        tri_t=jnp.asarray(slot_t),
+        tri_uv=jnp.asarray(slot_uv),
+        tri_count=jnp.int32(total_refs),
+        paged=PagedNodes(
+            nodes_f=jnp.asarray(nf),
+            nodes_i=jnp.asarray(ni),
+            bbox=jnp.asarray(np.stack(bboxes)),
+        ),
+    )

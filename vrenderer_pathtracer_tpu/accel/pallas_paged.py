@@ -1,0 +1,236 @@
+"""Paged Pallas traversal: two-level packet tracing for huge meshes.
+
+Companion to pallas_traverse.py for meshes that exceed VMEM (BASELINE
+config 5, ~500k tris).  The Pallas grid is ``(ray_blocks, pages)`` with the
+page dimension fastest: each program gets one VMEM-resident block of rays
+(kept across the page sweep — the output BlockSpec ignores the page index,
+so Pallas leaves the best-hit block in VMEM) and one page's node/triangle
+arrays, which the Pallas pipeline streams HBM -> VMEM double-buffered at
+full bandwidth while the previous page is being traversed.
+
+Per (block, page) step: if no lane can hit the page bbox within its current
+best t, the page is skipped outright (the top level of the two-level BVH);
+otherwise the page-local object-split BVH is packet-traversed exactly like
+the single-level kernel.  Winning slots are globalized as
+``page * page_tris + local`` so the shading gather path is unchanged.
+
+Traffic model: rays stay resident; page data is streamed once per ray
+block.  With 16k-ray blocks a 500k-tri mesh (~30MB of pages) costs
+~2MB of HBM reads per 1k rays per bounce — bandwidth, not latency, bound.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
+from vrenderer_pathtracer_tpu.accel.traverse import TRI_EPS
+from vrenderer_pathtracer_tpu.scene.scene import MeshData
+
+ROWS = 64          # ray rows per block -> 64*128 = 8192 rays resident
+COLS = 128
+BLOCK = ROWS * COLS
+
+
+def _kernel(nodes_f, nodes_i, bbox, tv0, te1, te2,
+            ox, oy, oz, dx, dy, dz, tmax_ref,
+            slot_out, t_out, stack, *, page_tris):
+    page = pl.program_id(1)
+
+    @pl.when(page == 0)
+    def _():
+        t_out[:] = tmax_ref[:]
+        slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
+
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    inv = tuple(
+        1.0 / jnp.where(jnp.abs(c) > 1e-12, c, jnp.where(c >= 0, 1e-12, -1e-12))
+        for c in d
+    )
+
+    def slab_any(lo0, lo1, lo2, hi0, hi1, hi2):
+        best = t_out[:]
+        t0x = (lo0 - o[0]) * inv[0]
+        t1x = (hi0 - o[0]) * inv[0]
+        t0y = (lo1 - o[1]) * inv[1]
+        t1y = (hi1 - o[1]) * inv[1]
+        t0z = (lo2 - o[2]) * inv[2]
+        t1z = (hi2 - o[2]) * inv[2]
+        tn = jnp.maximum(
+            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
+            jnp.minimum(t0z, t1z),
+        )
+        tf = jnp.minimum(
+            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
+            jnp.maximum(t0z, t1z),
+        )
+        hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
+        return jnp.any(hit), jnp.min(jnp.where(hit, tn, jnp.inf))
+
+    page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
+                           bbox[page, 3], bbox[page, 4], bbox[page, 5])
+
+    @pl.when(page_hit)
+    def _():
+        page_base = page * page_tris
+
+        def tri_test(s):
+            v0 = (tv0[0, s, 0], tv0[0, s, 1], tv0[0, s, 2])
+            e1 = (te1[0, s, 0], te1[0, s, 1], te1[0, s, 2])
+            e2 = (te2[0, s, 0], te2[0, s, 1], te2[0, s, 2])
+            px = d[1] * e2[2] - d[2] * e2[1]
+            py = d[2] * e2[0] - d[0] * e2[2]
+            pz = d[0] * e2[1] - d[1] * e2[0]
+            det = e1[0] * px + e1[1] * py + e1[2] * pz
+            ok_det = jnp.abs(det) > TRI_EPS
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tx = o[0] - v0[0]
+            ty = o[1] - v0[1]
+            tz = o[2] - v0[2]
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1[2] - tz * e1[1]
+            qy = tz * e1[0] - tx * e1[2]
+            qz = tx * e1[1] - ty * e1[0]
+            v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+            ok = (
+                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > TRI_EPS) & (t < t_out[:])
+            )
+            t_out[:] = jnp.where(ok, t, t_out[:])
+            slot_out[:] = jnp.where(ok, page_base + s, slot_out[:])
+
+        def body(carry):
+            sp, it = carry
+            node = stack[sp - 1]
+            sp = sp - 1
+            c0 = nodes_i[0, node, 0]
+            n0 = nodes_i[0, node, 1]
+            c1 = nodes_i[0, node, 2]
+            n1 = nodes_i[0, node, 3]
+            hit0, near0 = slab_any(
+                nodes_f[0, node, 0], nodes_f[0, node, 1], nodes_f[0, node, 2],
+                nodes_f[0, node, 3], nodes_f[0, node, 4], nodes_f[0, node, 5],
+            )
+            hit1, near1 = slab_any(
+                nodes_f[0, node, 6], nodes_f[0, node, 7], nodes_f[0, node, 8],
+                nodes_f[0, node, 9], nodes_f[0, node, 10], nodes_f[0, node, 11],
+            )
+
+            def leaf(start, count):
+                def tb(k, _):
+                    @pl.when(k < count)
+                    def _():
+                        tri_test(start + k)
+                    return 0
+
+                lax.fori_loop(0, MAX_LEAF, tb, 0, unroll=True)
+
+            is_leaf0 = hit0 & (n0 > 0)
+            is_inner0 = hit0 & (n0 == 0)
+            is_leaf1 = hit1 & (n1 > 0)
+            is_inner1 = hit1 & (n1 == 0)
+
+            @pl.when(is_leaf0)
+            def _():
+                leaf(c0, n0)
+
+            @pl.when(is_leaf1)
+            def _():
+                leaf(c1, n1)
+
+            both = is_inner0 & is_inner1
+            near_is_0 = near0 <= near1
+            first = jnp.where(both, jnp.where(near_is_0, c1, c0),
+                              jnp.where(is_inner0, c0, c1))
+            second = jnp.where(near_is_0, c0, c1)
+            any_push = is_inner0 | is_inner1
+
+            @pl.when(any_push)
+            def _():
+                stack[jnp.minimum(sp, STACK_DEPTH - 1)] = first
+
+            @pl.when(both)
+            def _():
+                stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = second
+
+            sp = jnp.minimum(
+                sp + is_inner0.astype(jnp.int32) + is_inner1.astype(jnp.int32),
+                STACK_DEPTH - 1,
+            )
+            return sp, it + 1
+
+        stack[0] = 0
+        n_nodes = nodes_i.shape[1]
+        lax.while_loop(
+            lambda c: (c[0] > 0) & (c[1] < 4 * n_nodes + STACK_DEPTH),
+            body,
+            (jnp.int32(1), jnp.int32(0)),
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
+    """Two-level paged traversal over [B] rays.  Same contract as
+    accel.traverse.traverse: returns (slot [B] int32, t [B] f32)."""
+    paged = mesh.paged
+    n_pages, npp, _ = paged.nodes_f.shape
+    page_tris = mesh.tri_v0.shape[0] // n_pages
+
+    b = ray_o.shape[0]
+    pad = (-b) % BLOCK
+    if pad:
+        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
+    nb = ray_o.shape[0] // BLOCK
+
+    def comp(x):
+        return x.reshape(nb * ROWS, COLS)
+
+    ray_spec = pl.BlockSpec(
+        (ROWS, COLS), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+    )
+    page3 = lambda shape: pl.BlockSpec(  # noqa: E731
+        (1,) + shape, lambda i, p: (p,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM,
+    )
+
+    in_specs = [
+            page3((npp, 12)),
+            page3((npp, 4)),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox: tiny, whole-array
+            page3((page_tris, 3)),
+            page3((page_tris, 3)),
+            page3((page_tris, 3)),
+            *([ray_spec] * 7),
+    ]
+
+    slot, t = pl.pallas_call(
+        functools.partial(_kernel, page_tris=page_tris),
+        grid=(nb, n_pages),
+        in_specs=in_specs,
+        out_specs=(ray_spec, ray_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
+            jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        interpret=interpret,
+    )(
+        paged.nodes_f, paged.nodes_i, paged.bbox,
+        mesh.tri_v0.reshape(n_pages, page_tris, 3),
+        mesh.tri_e1.reshape(n_pages, page_tris, 3),
+        mesh.tri_e2.reshape(n_pages, page_tris, 3),
+        comp(ray_o[:, 0]), comp(ray_o[:, 1]), comp(ray_o[:, 2]),
+        comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
+        comp(t_max),
+    )
+    return slot.reshape(-1)[:b], t.reshape(-1)[:b]

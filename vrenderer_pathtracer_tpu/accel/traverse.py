@@ -176,17 +176,19 @@ def traverse(mesh: MeshData, ray_o, ray_d, t_max):
 
 
 def brute_force(mesh: MeshData, ray_o, ray_d, t_max):
-    """All-triangles oracle for traversal tests: O(B*T), CPU-sized only."""
-    v0 = mesh.tri_v0[None, :, :] * jnp.ones_like(ray_o[:, None, :1])
+    """All-triangles oracle for traversal tests: O(B*T), CPU-sized only.
+
+    Padding slots (both the contiguous tail of pack_mesh and the per-page
+    tails of pack_mesh_paged) hold degenerate triangles with zero edges, so
+    they can never pass the determinant test — no validity mask needed.
+    """
     t, _, _, ok = _moller_trumbore(
         ray_o, ray_d,
         jnp.broadcast_to(mesh.tri_v0[None], (ray_o.shape[0],) + mesh.tri_v0.shape),
         jnp.broadcast_to(mesh.tri_e1[None], (ray_o.shape[0],) + mesh.tri_e1.shape),
         jnp.broadcast_to(mesh.tri_e2[None], (ray_o.shape[0],) + mesh.tri_e2.shape),
     )
-    del v0
-    slots = jnp.arange(mesh.tri_v0.shape[0], dtype=jnp.int32)
-    ok = ok & (slots[None, :] < mesh.tri_count) & (t < jnp.asarray(t_max)[..., None])
+    ok = ok & (t < jnp.asarray(t_max)[..., None])
     t = jnp.where(ok, t, jnp.inf)
     j = jnp.argmin(t, axis=-1).astype(jnp.int32)
     t_min = jnp.take_along_axis(t, j[:, None], axis=-1)[:, 0]
@@ -280,6 +282,15 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
 
         search = traverse_packets
+    elif settings.traversal.startswith("pallas_paged"):
+        import functools
+
+        from vrenderer_pathtracer_tpu.accel.pallas_paged import traverse_paged
+
+        search = functools.partial(
+            traverse_paged,
+            interpret=settings.traversal.endswith("interpret"),
+        )
     else:
         search = traverse
     slot, _ = search(

@@ -29,7 +29,7 @@ def _load():
 
     lib.vt_build_sbvh.restype = ctypes.c_int
     lib.vt_build_sbvh.argtypes = [
-        c_fp, ctypes.c_int, c_ip, ctypes.c_int,
+        c_fp, ctypes.c_int, c_ip, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(c_fp), ctypes.POINTER(c_ip), c_ip,
         ctypes.POINTER(c_ip), c_ip,
     ]
@@ -104,7 +104,10 @@ def load_obj(path: str) -> HostMesh:
     )
 
 
-def build_sbvh(verts: np.ndarray, tris: np.ndarray) -> FlatBVH:
+def build_sbvh(verts: np.ndarray, tris: np.ndarray,
+               allow_spatial: bool = True) -> FlatBVH:
+    """allow_spatial=False builds object-splits only (no ref duplication) —
+    used for fixed-slot-budget mesh pages (accel/paged.py)."""
     lib = _load()
     verts = np.ascontiguousarray(verts, np.float32)
     tris = np.ascontiguousarray(tris, np.int32)
@@ -114,7 +117,7 @@ def build_sbvh(verts: np.ndarray, tris: np.ndarray) -> FlatBVH:
     n_nodes, n_refs = ctypes.c_int(), ctypes.c_int()
     rc = lib.vt_build_sbvh(
         verts.ctypes.data_as(c_fp), len(verts),
-        tris.ctypes.data_as(c_ip), len(tris),
+        tris.ctypes.data_as(c_ip), len(tris), int(allow_spatial),
         ctypes.byref(pf), ctypes.byref(pi), ctypes.byref(n_nodes),
         ctypes.byref(po), ctypes.byref(n_refs),
     )

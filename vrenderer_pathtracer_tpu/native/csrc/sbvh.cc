@@ -55,8 +55,8 @@ struct Child {
 
 class Builder {
  public:
-  Builder(const float* verts, const int* tris, int n_tris)
-      : verts_(verts), tris_(tris) {
+  Builder(const float* verts, const int* tris, int n_tris, bool allow_spatial)
+      : verts_(verts), tris_(tris), allow_spatial_(allow_spatial) {
     refs_.reserve(n_tris);
     for (int i = 0; i < n_tris; ++i) {
       TriRef r{i, {}};
@@ -251,7 +251,7 @@ class Builder {
     float leaf_cost = n * kTriCost;
 
     SpatialSplit ss;
-    if (os.axis >= 0) {
+    if (allow_spatial_ && os.axis >= 0) {
       float overlap = os.left.intersect(os.right).surface_area();
       if (overlap > kOverlapAlpha * root_sa_)
         ss = find_spatial_split(refs, bounds, parent_sa);
@@ -426,6 +426,7 @@ class Builder {
 
   const float* verts_;
   const int* tris_;
+  bool allow_spatial_;
   std::vector<TriRef> refs_;
   AABB root_box_;
   float root_sa_ = 0.f;
@@ -442,12 +443,14 @@ extern "C" {
 //   nodes_f: [n_nodes*12] two child AABBs (lo0,hi0,lo1,hi1)
 //   nodes_i: [n_nodes*4]  child (ref,count) pairs; see header comment
 //   order:   [n_refs] original triangle index per leaf slot (duplicates ok)
+// allow_spatial=0 builds an object-split-only BVH (no ref duplication —
+// used for fixed-budget mesh pages).
 int vt_build_sbvh(const float* verts, int n_verts, const int* tris, int n_tris,
-                  float** nodes_f, int** nodes_i, int* n_nodes, int** order,
-                  int* n_refs) {
+                  int allow_spatial, float** nodes_f, int** nodes_i,
+                  int* n_nodes, int** order, int* n_refs) {
   (void)n_verts;
   if (n_tris <= 0) return 1;
-  Builder b(verts, tris, n_tris);
+  Builder b(verts, tris, n_tris, allow_spatial != 0);
   b.build();
   *n_nodes = (int)(b.nodes_i.size() / 4);
   *n_refs = (int)b.tri_order.size();

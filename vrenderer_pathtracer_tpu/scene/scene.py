@@ -22,6 +22,20 @@ from vrenderer_pathtracer_tpu.config import RenderSettings
 from vrenderer_pathtracer_tpu.scene.spheres import SphereSet, build_sphere_set
 
 
+class PagedNodes(NamedTuple):
+    """Two-level acceleration arrays for VMEM-exceeding meshes.
+
+    Triangles are Morton-clustered into fixed-size pages, each with its own
+    object-split BVH (accel/paged.py); the Pallas paged kernel streams page
+    arrays HBM -> VMEM through the pipelined grid.  ``nodes_i`` leaf
+    references are PAGE-LOCAL; global slot = page * page_tris + local.
+    """
+
+    nodes_f: jnp.ndarray  # [Pg, Npp, 12] float32 — per-page child AABBs
+    nodes_i: jnp.ndarray  # [Pg, Npp, 4]  int32
+    bbox: jnp.ndarray     # [Pg, 8] float32 — page lo.xyz, hi.xyz, pad
+
+
 class MeshData(NamedTuple):
     """Flattened SBVH + leaf-ordered triangle streams (see accel/mesh.py).
 
@@ -41,6 +55,7 @@ class MeshData(NamedTuple):
     tri_t: jnp.ndarray     # [T,3,3] per-corner tangents
     tri_uv: jnp.ndarray    # [T,3,2] per-corner uvs
     tri_count: jnp.ndarray # [] int32 — valid slots (rest is padding)
+    paged: Optional[PagedNodes] = None  # set for VMEM-exceeding meshes
 
 
 class Scene(NamedTuple):
@@ -69,10 +84,15 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
             from vrenderer_pathtracer_tpu.accel.pallas_traverse import fits_vmem
 
             try:
-                platforms = {d.platform for d in scene.mesh.nodes_f.devices()}
+                platforms = {d.platform for d in scene.mesh.tri_v0.devices()}
             except (AttributeError, TypeError):  # tracer / numpy input
                 platforms = set()
-            if platforms == {"tpu"} and fits_vmem(scene.mesh):
+            on_tpu = platforms == {"tpu"}
+            if scene.mesh.paged is not None:
+                # Paged meshes have no single-level nodes: the paged kernel
+                # is the only traversal (interpreted off-TPU).
+                traversal = "pallas_paged" if on_tpu else "pallas_paged_interpret"
+            elif on_tpu and fits_vmem(scene.mesh):
                 traversal = "pallas"
     return settings.replace(
         has_diffuse_map=scene.diffuse_map is not None,
