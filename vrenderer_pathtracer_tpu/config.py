@@ -53,6 +53,10 @@ class RenderSettings:
     # VMEM-resident scene) on TPU-resident meshes that fit, else "xla"
     # (lockstep while_loop).  Resolved in scene.settings_for_scene.
     traversal: str = "auto"
+    # Rematerialize each bounce in the backward pass (jax.checkpoint):
+    # trades recompute FLOPs for per-bounce activation memory — needed for
+    # high-res/high-spp gradient renders (config 5).
+    remat_bounces: bool = False
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from vrenderer_pathtracer_tpu.config import RenderSettings
@@ -197,6 +198,8 @@ def radiance(
     Returns ``(rgb [B,3], depth [B])`` — the per-sample radiance estimate and
     the reference's normalized first-hit depth.
     """
+    import functools
+
     n_rays = ray_o.shape[0]
     mask = jnp.ones((n_rays, 3), jnp.float32)
     accum = jnp.zeros((n_rays, 3), jnp.float32)
@@ -204,7 +207,8 @@ def radiance(
     alive = jnp.ones((n_rays,), bool)
     killed = jnp.zeros((n_rays,), bool)  # Cornell-mode miss kills the path
 
-    for bounce in range(settings.bounces):
+    def bounce_step(carry, *, bounce):
+        ray_o, ray_d, mask, accum, depth, alive, killed = carry
         hd = intersect_scene(scene, settings, ray_o, ray_d)
         miss = alive & ~hd.hit
         live_hit = alive & hd.hit
@@ -243,7 +247,18 @@ def radiance(
         ray_o = jnp.where(lh, hd.point + ORIGIN_OFFSET * hd.normal, ray_o)
         ray_d = jnp.where(lh, new_dir, ray_d)
         mask = jnp.where(lh, mask * mult, mask)
-        alive = live_hit
+        return ray_o, ray_d, mask, accum, depth, live_hit, killed
+
+    carry = (ray_o, ray_d, mask, accum, depth, alive, killed)
+    for bounce in range(settings.bounces):
+        step = functools.partial(bounce_step, bounce=bounce)
+        if settings.remat_bounces:
+            # Recompute this bounce's intermediates during the backward pass
+            # instead of storing them: memory per bounce drops to the carry
+            # (jax.checkpoint — the FLOPs-for-HBM trade, SURVEY §7).
+            step = jax.checkpoint(step)
+        carry = step(carry)
+    ray_o, ray_d, mask, accum, depth, alive, killed = carry
 
     if settings.use_cornell_box:
         accum = jnp.where(killed[:, None], 0.0, accum)
