@@ -88,3 +88,21 @@ def test_renderer_with_paged_mesh():
     assert np.isfinite(img).all()
     # Mesh visible: center closer than corners.
     assert depth[14:18, 14:18].mean() < depth[:4, :4].mean()
+
+
+def test_sorted_traverse_preserves_results():
+    """Coherence sorting must not change any result (order restored)."""
+    from vrenderer_pathtracer_tpu.accel.sorting import sorted_traverse
+    from vrenderer_pathtracer_tpu.accel.traverse import traverse
+
+    host = _soup(300, seed=11)
+    mesh = pack_mesh(host)
+    o1, d1 = _rays(512, seed=12)
+    o2, d2 = _aimed_rays(host, 512, seed=13)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    slot_a, t_a = traverse(mesh, o, d, t_max)
+    slot_b, t_b = sorted_traverse(traverse, mesh, o, d, t_max)
+    np.testing.assert_array_equal(np.asarray(slot_a), np.asarray(slot_b))
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))

@@ -293,6 +293,12 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
         )
     else:
         search = traverse
+    if settings.sort_rays:
+        import functools as _ft
+
+        from vrenderer_pathtracer_tpu.accel.sorting import sorted_traverse
+
+        search = _ft.partial(sorted_traverse, search)
     slot, _ = search(
         scene.mesh,
         lax.stop_gradient(ray_o),

@@ -57,6 +57,9 @@ class RenderSettings:
     # trades recompute FLOPs for per-bounce activation memory — needed for
     # high-res/high-spp gradient renders (config 5).
     remat_bounces: bool = False
+    # Sort rays by (direction octant, origin Morton) before packet traversal
+    # to restore block coherence for bounce rays (accel/sorting.py).
+    sort_rays: bool = False
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so
