@@ -33,17 +33,19 @@ from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.traverse import TRI_EPS
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
-ROWS = 64          # ray rows per block -> 64*128 = 8192 rays resident
+ROWS = 128        # ray rows per block -> 16384 rays resident (32k OOMs VMEM)
 COLS = 128
 BLOCK = ROWS * COLS
 
 
-def _kernel(nodes_f, nodes_i, bbox, tv0, te1, te2,
+def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
             ox, oy, oz, dx, dy, dz, tmax_ref,
             slot_out, t_out, stack, *, page_tris):
-    page = pl.program_id(1)
+    # Pages stream in near-to-far order: perm_ref holds the distance-sorted
+    # permutation; early pages set best_t so later page bboxes prune.
+    page = perm_ref[pl.program_id(1)]
 
-    @pl.when(page == 0)
+    @pl.when(pl.program_id(1) == 0)  # first page STEP for this ray block
     def _():
         t_out[:] = tmax_ref[:]
         slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
@@ -195,15 +197,27 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
     def comp(x):
         return x.reshape(nb * ROWS, COLS)
 
+    # Near-to-far page schedule: sort pages by bbox-center distance to the
+    # mean ray origin (a [Pg]-sized argsort, trivial next to traversal).
+    centers = 0.5 * (paged.bbox[:, 0:3] + paged.bbox[:, 3:6])
+    mean_o = jnp.mean(ray_o, axis=0)
+    page_perm = jnp.argsort(
+        jnp.sum((centers - mean_o[None, :]) ** 2, axis=-1)
+    ).astype(jnp.int32)
+
+    # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
-        (ROWS, COLS), lambda i, p: (i, 0), memory_space=pltpu.VMEM
+        (ROWS, COLS), lambda i, p, perm: (i, 0), memory_space=pltpu.VMEM
     )
     page3 = lambda shape: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda i, p: (p,) + (0,) * len(shape),
+        (1,) + shape, lambda i, p, perm: (perm[p],) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
 
-    in_specs = [
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nb, n_pages),
+        in_specs=[
             page3((npp, 12)),
             page3((npp, 4)),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox: tiny, whole-array
@@ -211,20 +225,21 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
             page3((page_tris, 3)),
             page3((page_tris, 3)),
             *([ray_spec] * 7),
-    ]
+        ],
+        out_specs=(ray_spec, ray_spec),
+        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+    )
 
     slot, t = pl.pallas_call(
         functools.partial(_kernel, page_tris=page_tris),
-        grid=(nb, n_pages),
-        in_specs=in_specs,
-        out_specs=(ray_spec, ray_spec),
+        grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.float32),
         ),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
         interpret=interpret,
     )(
+        page_perm,
         paged.nodes_f, paged.nodes_i, paged.bbox,
         mesh.tri_v0.reshape(n_pages, page_tris, 3),
         mesh.tri_e1.reshape(n_pages, page_tris, 3),

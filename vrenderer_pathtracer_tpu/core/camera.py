@@ -68,6 +68,26 @@ class Camera(NamedTuple):
         half_pi = jnp.float32(jnp.pi / 2)
         return self._replace(pitch=jnp.clip(self.pitch, -half_pi, half_pi))
 
+    # -- interaction (the reference's mouse controls, as pure updates) ------
+
+    # LMB drag sensitivity: radians per pixel (src/NGLSceneMouseControls.cpp:27).
+    DRAG_RAD_PER_PX = 0.00174532925
+
+    def orbit(self, dx_px, dy_px) -> "Camera":
+        """LMB drag: dx -> yaw, dy -> pitch, pitch clamped
+        (``src/NGLSceneMouseControls.cpp:13-47``, ``src/Camera.cpp:53-65``)."""
+        s = jnp.float32(self.DRAG_RAD_PER_PX)
+        return self._replace(
+            yaw=self.yaw + s * dx_px,
+            pitch=self.pitch + s * dy_px,
+        ).with_pitch_clamped()
+
+    def move_forward(self, amount) -> "Camera":
+        """RMB drag: translate along the view direction
+        (``src/NGLSceneMouseControls.cpp:49-99``, ``src/Camera.cpp:67-77``)."""
+        _, view_dir, _, _, _ = self.basis()
+        return self._replace(origin=self.origin + view_dir * amount)
+
 
 def generate_rays(camera: Camera, width: int, height: int, jitter=None):
     """Primary rays for every pixel, flattened row-major (ind = x + y*width).
