@@ -84,6 +84,8 @@ def main():
     mrays_fwd = rays / fwd_s / 1e6
     mrays_fwdbwd = 2 * rays / fwdbwd_s / 1e6  # fwd+bwd counted as 2x ray work
 
+    mesh_stats = _mesh_bench()
+
     prev = _prev_value()
     record = {
         "metric": "mrays_per_s_per_chip_fwdbwd_cornell1024_4bounce",
@@ -97,9 +99,48 @@ def main():
             "n_devices": len(jax.devices()),
             "platform": jax.devices()[0].platform,
             "loss": float(loss),
+            **mesh_stats,
         },
     }
     print(json.dumps(record))
+
+
+def _mesh_bench() -> dict:
+    """Secondary metric: Pallas packet traversal on a 28.5k-tri mesh."""
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from tests.test_mesh_render import write_uv_sphere
+        from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
+        from vrenderer_pathtracer_tpu.core.camera import Camera
+        from vrenderer_pathtracer_tpu.core.camera import generate_rays
+        from vrenderer_pathtracer_tpu.native import load_obj
+
+        p = os.path.join(tempfile.mkdtemp(), "bench_sphere.obj")
+        write_uv_sphere(p, radius=12.0, n_theta=120, n_phi=120)
+        mesh = pack_mesh(load_obj(p))
+        cam = Camera.default()._replace(
+            origin=jnp.asarray([0.0, 0.0, 28.0], jnp.float32))
+        o, d = generate_rays(cam, 1024, 512)
+        b = o.shape[0]
+        tmax = jnp.full((b,), 1e6, jnp.float32)
+        slot, t = traverse_packets(mesh, o, d, tmax)
+        jax.block_until_ready((slot, t))
+        t0 = time.perf_counter()
+        for _ in range(5):
+            r = traverse_packets(mesh, o, d, tmax)
+        jax.block_until_ready(r)
+        dt = (time.perf_counter() - t0) / 5
+        return {
+            "mesh_traversal_mrays_per_s": round(b / dt / 1e6, 1),
+            "mesh_tris": int(np.asarray(mesh.tri_count)),
+            "mesh_hitrate": round(float((slot >= 0).mean()), 3),
+        }
+    except Exception as e:  # never let the secondary metric kill the bench
+        return {"mesh_bench_error": f"{type(e).__name__}: {e}"}
 
 
 if __name__ == "__main__":

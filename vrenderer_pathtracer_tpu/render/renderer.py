@@ -197,8 +197,17 @@ class Renderer:
 
     # -- the frame loop -----------------------------------------------------
 
-    def render(self):
-        """One progressive pass; returns (image01 [H,W,3], depth [H,W])."""
+    def render(self, sync: bool = False):
+        """One progressive pass; returns (image01 [H,W,3], depth [H,W]).
+
+        ``sync=True`` blocks on the device and records wall-clock stats
+        (the reference HUD's fps / ms / spp role, SURVEY §5.5) in
+        ``self.last_stats``; the default stays async so progressive frames
+        pipeline.
+        """
+        import time as _time
+
+        t0 = _time.perf_counter() if sync else 0.0
         self._accum, img, depth = _render_step(
             self.scene,
             self.camera,
@@ -211,8 +220,30 @@ class Renderer:
             self.seed,
         )
         self.frame += 1
+        if sync:
+            import time as _time
+
+            import jax as _jax
+
+            from vrenderer_pathtracer_tpu.utils.profiling import RenderStats
+
+            _jax.block_until_ready(self._accum)
+            s = self.settings
+            self.last_stats = RenderStats(
+                width=s.width, height=s.height,
+                samples_per_pass=s.samples_per_pass, bounces=s.bounces,
+                seconds_per_pass=_time.perf_counter() - t0,
+            )
         h, w = self.settings.height, self.settings.width
         return img.reshape(h, w, 3), depth.reshape(h, w)
+
+    def hud_line(self) -> str:
+        """fps / ms / spp / Mrays one-liner (reference ``src/NGLScene.cpp:
+        324-342``); requires a prior ``render(sync=True)``."""
+        stats = getattr(self, "last_stats", None)
+        if stats is None:
+            return "no synced frame yet - call render(sync=True)"
+        return stats.hud_line(self.samples_per_pixel)
 
     def render_frames(self, n: int):
         """Run n progressive passes, return the final image (host numpy)."""
