@@ -165,3 +165,20 @@ def test_dryrun_multichip_entrypoint():
     fn, args = mod.entry()
     accum, img, depth = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_renderer_with_device_mesh():
+    """The Renderer facade runs its progressive loop through shard_map and
+    matches the single-device renderer (tile sharding is bitwise)."""
+    from vrenderer_pathtracer_tpu import Renderer
+
+    mesh = make_render_mesh(n_tiles=4, n_samples=2, devices=cpu_devices()[:8])
+    r_sharded = Renderer(32, 16, settings=SETTINGS, device_mesh=mesh)
+    r_plain = Renderer(32, 16, settings=SETTINGS)
+    for _ in range(2):
+        img_s, depth_s = r_sharded.render()
+        img_p, depth_p = r_plain.render()
+    # Same estimator; cross-compilation fp drift allowed on outlier pixels.
+    d = np.abs(np.asarray(img_s) - np.asarray(img_p))
+    assert (d > 1e-5).mean() < 0.01 and d.max() < 0.05
+    assert r_sharded.get_frame_count() == r_plain.get_frame_count()

@@ -104,7 +104,20 @@ def _render_body(args) -> int:
         use_example_sphere=args.example_sphere,
         use_fxaa=args.fxaa,
     )
-    r = Renderer(args.width, args.height, settings=settings, seed=args.seed)
+    device_mesh = None
+    if args.tiles or args.sample_shards > 1:
+        import jax
+
+        from vrenderer_pathtracer_tpu.parallel.sharding import make_render_mesh
+
+        devices = jax.devices("cpu") if args.cpu else jax.devices()
+        n_tiles = args.tiles or max(len(devices) // args.sample_shards, 1)
+        device_mesh = make_render_mesh(
+            n_tiles=n_tiles, n_samples=args.sample_shards,
+            devices=devices[: n_tiles * args.sample_shards],
+        )
+    r = Renderer(args.width, args.height, settings=settings, seed=args.seed,
+                 device_mesh=device_mesh)
     if args.hdr:
         r.load_hdr(args.hdr)
     if args.mesh:

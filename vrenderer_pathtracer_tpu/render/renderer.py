@@ -60,12 +60,19 @@ class Renderer:
     """Stateful progressive renderer with the reference API surface."""
 
     def __init__(self, width: int = 512, height: int = 512, *,
-                 settings: Optional[RenderSettings] = None, seed: int = 0):
+                 settings: Optional[RenderSettings] = None, seed: int = 0,
+                 device_mesh=None):
+        """``device_mesh`` — an optional ``jax.sharding.Mesh`` with axes
+        ("tiles", "samples") (parallel.make_render_mesh): progressive passes
+        then run through the shard_map step with the scene replicated and
+        pixels tile-sharded.  None = single-device execution."""
         base = settings or RenderSettings()
         self.settings = base.replace(width=width, height=height)
         self.scene = Scene(spheres=build_sphere_set(self.settings.use_cornell_box))
         self.camera = Camera.default()
         self.seed = seed
+        self.device_mesh = device_mesh
+        self._sharded_step = None
         self.fresnel_coef = jnp.float32(0.1)
         self.fresnel_pow = jnp.float32(3.0)
         # FXAA slider state (reference defaults, src/NGLScene.cpp:42-44).
@@ -82,6 +89,11 @@ class Renderer:
         self.frame = 1
         n = self.settings.n_pixels
         self._accum = jnp.zeros((n, 3), jnp.float32)
+        if self.device_mesh is not None:
+            from vrenderer_pathtracer_tpu.parallel.sharding import shard_pixels
+
+            self._accum = shard_pixels(self.device_mesh, self._accum)
+            self._sharded_step = None  # settings may have changed
 
     def _sync_settings(self):
         self.settings = settings_for_scene(self.scene, self.settings)
@@ -208,17 +220,20 @@ class Renderer:
         import time as _time
 
         t0 = _time.perf_counter() if sync else 0.0
-        self._accum, img, depth = _render_step(
-            self.scene,
-            self.camera,
-            self._accum,
-            jnp.uint32(self.frame),
-            self.fresnel_coef,
-            self.fresnel_pow,
-            (self.fxaa_subpix_quality, self.fxaa_edge_threshold),
-            self.settings,
-            self.seed,
-        )
+        if self.device_mesh is not None:
+            self._accum, img, depth = self._render_sharded()
+        else:
+            self._accum, img, depth = _render_step(
+                self.scene,
+                self.camera,
+                self._accum,
+                jnp.uint32(self.frame),
+                self.fresnel_coef,
+                self.fresnel_pow,
+                (self.fxaa_subpix_quality, self.fxaa_edge_threshold),
+                self.settings,
+                self.seed,
+            )
         self.frame += 1
         if sync:
             import time as _time
@@ -236,6 +251,40 @@ class Renderer:
             )
         h, w = self.settings.height, self.settings.width
         return img.reshape(h, w, 3), depth.reshape(h, w)
+
+    def _render_sharded(self):
+        """Progressive pass through the shard_map step (tiles x samples).
+
+        FXAA needs cross-tile halos, so in sharded mode it applies to the
+        gathered full image after the step (display-time, like the
+        reference's screen pass) rather than inside it.
+        """
+        from vrenderer_pathtracer_tpu.parallel.sharding import (
+            replicate, sharded_render_step)
+
+        if self._sharded_step is None:
+            self._sharded_step = sharded_render_step(
+                self.device_mesh, self.settings.replace(use_fxaa=False),
+                seed=self.seed,
+            )
+            self._scene_repl = replicate(self.device_mesh, self.scene)
+        accum, img, depth = self._sharded_step(
+            self._scene_repl,
+            replicate(self.device_mesh, self.camera),
+            self._accum,
+            jnp.uint32(self.frame),
+            self.fresnel_coef,
+            self.fresnel_pow,
+        )
+        if self.settings.use_fxaa:
+            from vrenderer_pathtracer_tpu.ops.fxaa import fxaa
+
+            h, w = self.settings.height, self.settings.width
+            img = fxaa(
+                img.reshape(h, w, 3),
+                self.fxaa_subpix_quality, self.fxaa_edge_threshold,
+            ).reshape(-1, 3)
+        return accum, img, depth
 
     def hud_line(self) -> str:
         """fps / ms / spp / Mrays one-liner (reference ``src/NGLScene.cpp:
