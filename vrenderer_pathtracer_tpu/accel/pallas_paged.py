@@ -33,7 +33,7 @@ from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.traverse import TRI_EPS
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
-ROWS = 128        # ray rows per block -> 16384 rays resident (32k OOMs VMEM)
+ROWS = 128        # 16384 rays/block
 COLS = 128
 BLOCK = ROWS * COLS
 
@@ -236,6 +236,12 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         out_shape=(
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.float32),
+        ),
+        # The surrounding XLA program pins extra buffers in VMEM when this
+        # kernel is embedded in the full render step; raise the scoped
+        # limit above the 16MB default (v5e has headroom) so both fit.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(

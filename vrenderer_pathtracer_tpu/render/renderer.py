@@ -67,6 +67,10 @@ class Renderer:
         then run through the shard_map step with the scene replicated and
         pixels tile-sharded.  None = single-device execution."""
         base = settings or RenderSettings()
+        # Remember the user's requested traversal so every scene mutation
+        # re-resolves "auto" from the CURRENT mesh (a stale early resolution
+        # would pin the XLA fallback before the mesh is loaded).
+        self._traversal_request = base.traversal
         self.settings = base.replace(width=width, height=height)
         self.scene = Scene(spheres=build_sphere_set(self.settings.use_cornell_box))
         self.camera = Camera.default()
@@ -96,7 +100,9 @@ class Renderer:
             self._sharded_step = None  # settings may have changed
 
     def _sync_settings(self):
-        self.settings = settings_for_scene(self.scene, self.settings)
+        self.settings = settings_for_scene(
+            self.scene, self.settings.replace(traversal=self._traversal_request)
+        )
 
     def _mutate(self, **scene_updates):
         if scene_updates:
