@@ -182,3 +182,12 @@ def test_renderer_with_device_mesh():
     d = np.abs(np.asarray(img_s) - np.asarray(img_p))
     assert (d > 1e-5).mean() < 0.01 and d.max() < 0.05
     assert r_sharded.get_frame_count() == r_plain.get_frame_count()
+
+
+def test_sample_chunking_identical():
+    """samples_per_chunk shapes memory only — same estimator; only the
+    sample-sum association changes (ULP-level)."""
+    full = _single_device_pass(SETTINGS)
+    chunked = _single_device_pass(SETTINGS.replace(samples_per_chunk=2))
+    np.testing.assert_allclose(chunked[0], full[0], atol=2e-6)
+    np.testing.assert_array_equal(chunked[1], full[1])

@@ -216,6 +216,11 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
             jax.ShapeDtypeStruct((nb * LANE_ROWS, LANE_COLS), jnp.float32),
         ),
         scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        # Headroom beyond the 16MB default so the kernel still fits when the
+        # surrounding render-step program pins buffers in VMEM.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(
         mesh.nodes_f, mesh.nodes_i, mesh.tri_v0, mesh.tri_e1, mesh.tri_e2,

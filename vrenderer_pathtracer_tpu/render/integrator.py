@@ -290,18 +290,30 @@ def render_pass(
     """
     n = ray_o.shape[0]
     s = settings.samples_per_pass
-    big_o = jnp.tile(ray_o, (s, 1))
-    big_d = jnp.tile(ray_d, (s, 1))
-    big_ids = jnp.tile(pixel_ids, (s,))
-    base = jnp.arange(s, dtype=jnp.uint32)
-    if sample_offset is not None:
-        base = base + jnp.asarray(sample_offset, jnp.uint32)
-    sample_ids = jnp.repeat(base, n)
+    off = jnp.asarray(sample_offset, jnp.uint32) if sample_offset is not None \
+        else jnp.uint32(0)
 
-    rgb, depth = radiance(
-        scene, settings, big_o, big_d, big_ids, sample_ids, frame,
-        fresnel_coef, fresnel_pow, seed,
-    )
-    rgb = rgb.reshape(s, n, 3).mean(axis=0)
-    depth = depth.reshape(s, n)[-1]  # same primary ray per sample: last write
-    return rgb, depth
+    # Memory control: trace `samples_per_chunk` sample batches at a time so
+    # the lane dimension stays bounded at high spp (config-5 scale).  The
+    # chunks are a true dependency-free sum, so this is pure peak-memory
+    # shaping — results are identical to the single-chunk path.
+    chunk = settings.samples_per_chunk or s
+    chunk = min(chunk, s)
+    if s % chunk:
+        raise ValueError(f"samples_per_pass={s} not divisible by chunk={chunk}")
+
+    rgb_sum = jnp.zeros((n, 3), jnp.float32)
+    depth = None
+    for c0 in range(0, s, chunk):
+        big_o = jnp.tile(ray_o, (chunk, 1))
+        big_d = jnp.tile(ray_d, (chunk, 1))
+        big_ids = jnp.tile(pixel_ids, (chunk,))
+        base = jnp.arange(c0, c0 + chunk, dtype=jnp.uint32) + off
+        sample_ids = jnp.repeat(base, n)
+        rgb_c, depth_c = radiance(
+            scene, settings, big_o, big_d, big_ids, sample_ids, frame,
+            fresnel_coef, fresnel_pow, seed,
+        )
+        rgb_sum = rgb_sum + rgb_c.reshape(chunk, n, 3).sum(axis=0)
+        depth = depth_c.reshape(chunk, n)[-1]  # same primary ray: last write
+    return rgb_sum / s, depth
