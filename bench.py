@@ -18,6 +18,12 @@ import time
 import jax
 import jax.numpy as jnp
 
+# Persistent compilation cache: compiles through the remote hop are volatile
+# (tens of seconds to minutes); cached executables make repeat bench runs
+# start in seconds.
+jax.config.update("jax_compilation_cache_dir", "/tmp/vpt_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 
 def _prev_value() -> float | None:
     best = None
@@ -85,6 +91,7 @@ def main():
     mrays_fwdbwd = 2 * rays / fwdbwd_s / 1e6  # fwd+bwd counted as 2x ray work
 
     mesh_stats = _mesh_bench()
+    mega_stats = _megakernel_bench(settings)
 
     prev = _prev_value()
     record = {
@@ -100,9 +107,35 @@ def main():
             "platform": jax.devices()[0].platform,
             "loss": float(loss),
             **mesh_stats,
+            **mega_stats,
         },
     }
     print(json.dumps(record))
+
+
+def _megakernel_bench(settings) -> dict:
+    """Forward progressive pass through the Pallas radiance megakernel."""
+    try:
+        from vrenderer_pathtracer_tpu import Renderer
+
+        r = Renderer(settings.width, settings.height, settings=settings)
+        if r.settings.radiance_kernel != "pallas":
+            return {"megakernel": "unavailable"}
+        r.render()
+        jax.block_until_ready(r._accum)
+        n_iters = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            r.render()
+        jax.block_until_ready(r._accum)
+        dt = (time.perf_counter() - t0) / n_iters
+        rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
+        return {
+            "megakernel_fwd_mrays_per_s": round(rays / dt / 1e6, 1),
+            "megakernel_pass_ms": round(dt * 1e3, 3),
+        }
+    except Exception as e:
+        return {"megakernel_error": f"{type(e).__name__}: {e}"}
 
 
 def _mesh_bench() -> dict:

@@ -1,0 +1,82 @@
+"""Radiance megakernel tests: RNG bit parity, estimator parity, gating."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core import rng as rng_mod
+from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays, pixel_ids
+from vrenderer_pathtracer_tpu.render.integrator import render_pass
+from vrenderer_pathtracer_tpu.render.pallas_radiance import (
+    _threefry2x32_tile,
+    render_pass_pallas,
+    supports,
+)
+from vrenderer_pathtracer_tpu.scene.scene import Scene, settings_for_scene
+
+SETTINGS = RenderSettings(
+    width=64, height=32, samples_per_pass=4, bounces=4,
+    use_cornell_box=True, has_hdr=False,
+)
+
+
+def test_threefry_tile_bit_parity():
+    """The in-kernel threefry must equal core/rng.py bit-for-bit."""
+    x0 = jnp.arange(8 * 128, dtype=jnp.uint32).reshape(8, 128) * jnp.uint32(2654435761)
+    x1 = jnp.full((8, 128), jnp.uint32(0xDEADBEEF))
+    k0, k1 = jnp.uint32(42), jnp.uint32(7)
+    a0, a1 = rng_mod.threefry2x32(k0, k1, x0, x1)
+    b0, b1 = _threefry2x32_tile(k0, k1, x0, x1)
+    np.testing.assert_array_equal(np.asarray(a0), np.asarray(b0))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(b1))
+
+
+def test_megakernel_matches_integrator():
+    """Interpret-mode estimator parity under the cross-program contract:
+    <1% outlier elements (fp-assoc branch flips), tight everywhere else."""
+    scene = Scene.analytic(SETTINGS)
+    cam = Camera.default()
+    ray_o, ray_d = generate_rays(cam, SETTINGS.width, SETTINGS.height)
+    ids = pixel_ids(SETTINGS.width, SETTINGS.height)
+
+    for frame in (1, 3):
+        rgb_x, dep_x = render_pass(
+            scene, SETTINGS, ray_o, ray_d, ids, jnp.uint32(frame),
+            jnp.float32(0.1), jnp.float32(3.0),
+        )
+        rgb_p, dep_p = render_pass_pallas(
+            scene, SETTINGS, cam, jnp.uint32(frame),
+            jnp.float32(0.1), jnp.float32(3.0), interpret=True,
+        )
+        d = np.abs(np.asarray(rgb_x) - np.asarray(rgb_p))
+        assert (d > 1e-5).mean() < 0.01, f"{(d > 1e-5).mean():.4%} differ"
+        dd = np.abs(np.asarray(dep_x) - np.asarray(dep_p))
+        assert dd.max() < 1e-3
+
+
+def test_fresnel_params_plumbed():
+    """Non-default fresnel sliders change the megakernel image."""
+    scene = Scene.analytic(SETTINGS)
+    cam = Camera.default()
+    a, _ = render_pass_pallas(scene, SETTINGS, cam, jnp.uint32(1),
+                              jnp.float32(0.1), jnp.float32(3.0), interpret=True)
+    b, _ = render_pass_pallas(scene, SETTINGS, cam, jnp.uint32(1),
+                              jnp.float32(0.9), jnp.float32(1.0), interpret=True)
+    assert np.abs(np.asarray(a) - np.asarray(b)).max() > 1e-3
+
+
+def test_supports_gating():
+    scene = Scene.analytic(SETTINGS)
+    assert supports(scene, SETTINGS)
+    assert not supports(scene, SETTINGS.replace(use_cornell_box=False))
+    assert not supports(scene, SETTINGS.replace(has_mesh=True))
+    assert not supports(scene, SETTINGS.replace(has_hdr=True))
+    assert not supports(scene, SETTINGS.replace(use_example_sphere=True))
+    assert not supports(scene, SETTINGS.replace(width=100))  # not %1024
+
+
+def test_cpu_resolution_keeps_xla():
+    """On CPU-resident scenes "auto" must NOT pick the pallas megakernel."""
+    scene = Scene.analytic(SETTINGS)
+    resolved = settings_for_scene(scene, SETTINGS)
+    assert resolved.radiance_kernel == "xla"

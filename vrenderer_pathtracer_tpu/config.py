@@ -60,6 +60,11 @@ class RenderSettings:
     # Sort rays by (direction octant, origin Morton) before packet traversal
     # to restore block coherence for bounce rays (accel/sorting.py).
     sort_rays: bool = False
+    # Forward radiance backend: "auto" resolves to the Pallas megakernel
+    # (render/pallas_radiance.py) for TPU-resident analytic Cornell scenes
+    # — ~100x the XLA wavefront forward.  Gradient paths always use the
+    # differentiable XLA integrator.
+    radiance_kernel: str = "auto"
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so

@@ -40,11 +40,20 @@ DIFFUSE, NORMAL, SPECULAR = 0, 1, 2  # texture types (reference vTextureType)
 @functools.partial(jax.jit, static_argnames=("settings", "seed"))
 def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow,
                  fxaa_params, settings, seed):
-    ray_o, ray_d = generate_rays(camera, settings.width, settings.height)
-    ids = pixel_ids(settings.width, settings.height)
-    rgb, depth = render_pass(
-        scene, settings, ray_o, ray_d, ids, frame, fresnel_coef, fresnel_pow, seed
-    )
+    if settings.radiance_kernel == "pallas":
+        from vrenderer_pathtracer_tpu.render.pallas_radiance import (
+            render_pass_pallas)
+
+        rgb, depth = render_pass_pallas(
+            scene, settings, camera, frame, fresnel_coef, fresnel_pow, seed
+        )
+    else:
+        ray_o, ray_d = generate_rays(camera, settings.width, settings.height)
+        ids = pixel_ids(settings.width, settings.height)
+        rgb, depth = render_pass(
+            scene, settings, ray_o, ray_d, ids, frame, fresnel_coef,
+            fresnel_pow, seed
+        )
     accum = accum + rgb
     img = tonemap(accum, frame, settings.gamma)
     if settings.use_fxaa:
@@ -71,6 +80,7 @@ class Renderer:
         # re-resolves "auto" from the CURRENT mesh (a stale early resolution
         # would pin the XLA fallback before the mesh is loaded).
         self._traversal_request = base.traversal
+        self._radiance_request = base.radiance_kernel
         self.settings = base.replace(width=width, height=height)
         self.scene = Scene(spheres=build_sphere_set(self.settings.use_cornell_box))
         self.camera = Camera.default()
@@ -84,6 +94,7 @@ class Renderer:
         self.fxaa_edge_threshold = jnp.float32(0.166)
         self.frame = 1
         self._accum = None
+        self._sync_settings()  # resolve auto backends for the initial scene
         self.clear_buffer()
 
     # -- state management ---------------------------------------------------
@@ -101,7 +112,11 @@ class Renderer:
 
     def _sync_settings(self):
         self.settings = settings_for_scene(
-            self.scene, self.settings.replace(traversal=self._traversal_request)
+            self.scene,
+            self.settings.replace(
+                traversal=self._traversal_request,
+                radiance_kernel=self._radiance_request,
+            ),
         )
 
     def _mutate(self, **scene_updates):

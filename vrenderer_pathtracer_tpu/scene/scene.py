@@ -94,7 +94,28 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
                 traversal = "pallas_paged" if on_tpu else "pallas_paged_interpret"
             elif on_tpu and fits_vmem(scene.mesh):
                 traversal = "pallas"
+    radiance_kernel = settings.radiance_kernel
+    if radiance_kernel == "auto":
+        radiance_kernel = "xla"
+        try:
+            platforms = {d.platform for d in scene.spheres.pos.devices()}
+        except (AttributeError, TypeError):
+            platforms = set()
+        if platforms == {"tpu"}:
+            from vrenderer_pathtracer_tpu.render.pallas_radiance import supports
+
+            probe = settings.replace(
+                has_mesh=scene.mesh is not None,
+                has_hdr=scene.hdr is not None,
+                has_brdf=scene.brdf is not None,
+                has_diffuse_map=scene.diffuse_map is not None,
+                has_normal_map=scene.normal_map is not None,
+                has_specular_map=scene.specular_map is not None,
+            )
+            if supports(scene, probe):
+                radiance_kernel = "pallas"
     return settings.replace(
+        radiance_kernel=radiance_kernel,
         has_diffuse_map=scene.diffuse_map is not None,
         has_normal_map=scene.normal_map is not None,
         has_specular_map=scene.specular_map is not None,
