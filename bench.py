@@ -88,7 +88,37 @@ def main():
 
     rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
     mrays_fwd = rays / fwd_s / 1e6
-    mrays_fwdbwd = 2 * rays / fwdbwd_s / 1e6  # fwd+bwd counted as 2x ray work
+    mrays_fwdbwd_xla = 2 * rays / fwdbwd_s / 1e6
+
+    # --- headline: fwd+bwd through the Pallas radiance megakernels --------
+    # (render/pallas_grad.py: forward replay + hand-derived reverse sweep in
+    # VMEM; same loss/grads as the XLA train step, ~7x faster)
+    pallas_fwdbwd_s = None
+    try:
+        from vrenderer_pathtracer_tpu.core.camera import Camera
+        from vrenderer_pathtracer_tpu.render.pallas_grad import cornell_loss_grads
+        from vrenderer_pathtracer_tpu.scene.scene import Scene as _Scene
+
+        local_scene = _Scene.analytic(settings)
+        cam = Camera.default()
+        tgt = jnp.zeros((settings.n_pixels, 3), jnp.float32)
+        out = cornell_loss_grads(local_scene, settings, cam, tgt, jnp.uint32(1),
+                                 fc, fp)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        outs = []
+        for i in range(n_iters):
+            outs.append(cornell_loss_grads(
+                local_scene, settings, cam, tgt, jnp.uint32(2 + i), fc, fp))
+        jax.block_until_ready(outs)
+        pallas_fwdbwd_s = (time.perf_counter() - t0) / n_iters
+    except Exception:
+        pass
+
+    if pallas_fwdbwd_s is not None:
+        mrays_fwdbwd = 2 * rays / pallas_fwdbwd_s / 1e6
+    else:
+        mrays_fwdbwd = mrays_fwdbwd_xla
 
     mesh_stats = _mesh_bench()
     mega_stats = _megakernel_bench(settings)
@@ -102,7 +132,10 @@ def main():
         "extra": {
             "mrays_per_s_forward": round(mrays_fwd, 3),
             "fwd_ms": round(fwd_s * 1e3, 3),
-            "fwdbwd_ms": round(fwdbwd_s * 1e3, 3),
+            "fwdbwd_xla_ms": round(fwdbwd_s * 1e3, 3),
+            "mrays_per_s_fwdbwd_xla": round(mrays_fwdbwd_xla, 3),
+            "fwdbwd_pallas_ms": (
+                round(pallas_fwdbwd_s * 1e3, 3) if pallas_fwdbwd_s else None),
             "n_devices": len(jax.devices()),
             "platform": jax.devices()[0].platform,
             "loss": float(loss),
