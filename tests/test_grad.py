@@ -132,3 +132,28 @@ def test_grad_has_no_nans_all_params():
     g = jax.grad(loss)((scene.spheres.emission, scene.spheres.color, jnp.float32(0.1)))
     for leaf in jax.tree_util.tree_leaves(g):
         assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_grad_wrt_diffuse_texture_matches_fd():
+    """d(pixel)/d(texture) through the example-sphere fetch (BASELINE north
+    star: gradients w.r.t. texture parameters)."""
+    settings = RenderSettings(
+        width=12, height=12, bounces=2, samples_per_pass=4,
+        use_example_sphere=True, has_hdr=True, has_diffuse_map=True,
+    )
+    rng = np.random.default_rng(3)
+    hdr = jnp.ones((8, 16, 3), jnp.float32)
+    tex = jnp.asarray(rng.uniform(0.2, 0.9, (8, 8, 3)).astype(np.float32))
+    scene = Scene.analytic(settings, hdr=hdr)._replace(diffuse_map=tex)
+
+    def loss(t):
+        return _mean_radiance(scene._replace(diffuse_map=t), settings)
+
+    g = jax.grad(loss)(tex)
+    assert np.isfinite(np.asarray(g)).all()
+    nz = np.nonzero(np.abs(np.asarray(g)).sum(-1))
+    assert len(nz[0]) > 0, "no texel received gradient"
+    idx = (int(nz[0][0]), int(nz[1][0]), 0)
+    h = 1e-3
+    fd = (loss(tex.at[idx].add(h)) - loss(tex.at[idx].add(-h))) / (2 * h)
+    np.testing.assert_allclose(float(g[idx]), float(fd), rtol=5e-2, atol=1e-6)

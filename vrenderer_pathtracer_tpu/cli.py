@@ -193,6 +193,10 @@ def _render_body(args) -> int:
 
 def cmd_bench(args) -> int:
     del args
+    import pathlib
+    import sys as _sys
+
+    _sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
     import bench  # repo-root benchmark, one JSON line
 
     bench.main()
@@ -208,6 +212,8 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="render a scene to PNG/EXR")
     _add_render_args(pr)
     pr.set_defaults(fn=cmd_render)
+    pb = sub.add_parser("bench", help="run the headline benchmark (one JSON line)")
+    pb.set_defaults(fn=cmd_bench)
     args = parser.parse_args(argv)
     return args.fn(args)
 
