@@ -80,3 +80,37 @@ def test_cpu_resolution_keeps_xla():
     scene = Scene.analytic(SETTINGS)
     resolved = settings_for_scene(scene, SETTINGS)
     assert resolved.radiance_kernel == "xla"
+
+
+def test_sharded_megakernel_matches_single_device():
+    """Per-shard pixel/sample offsets keep the megakernel's shard tiles
+    consistent with the single-device megakernel image (same RNG identity),
+    validated on the virtual CPU mesh in forced-interpret mode."""
+    import jax
+
+    from tests.conftest import cpu_devices
+    from vrenderer_pathtracer_tpu.parallel.sharding import (
+        make_render_mesh, replicate, shard_pixels, sharded_render_step)
+    from vrenderer_pathtracer_tpu.utils import interpret_kernels
+
+    settings = SETTINGS.replace(
+        width=128, height=16, samples_per_pass=4, bounces=2,
+        radiance_kernel="pallas",
+    )
+    scene = Scene.analytic(settings)
+    cam = Camera.default()
+
+    with interpret_kernels():
+        single, _ = render_pass_pallas(
+            scene, settings, cam, jnp.uint32(1), jnp.float32(0.1),
+            jnp.float32(3.0), interpret=True,
+        )
+        mesh = make_render_mesh(n_tiles=2, n_samples=2,
+                                devices=cpu_devices()[:4])
+        step = sharded_render_step(mesh, settings)
+        accum = shard_pixels(mesh, jnp.zeros((settings.n_pixels, 3), jnp.float32))
+        accum, img, depth = step(
+            replicate(mesh, scene), replicate(mesh, cam), accum,
+            jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0),
+        )
+    np.testing.assert_allclose(np.asarray(accum), np.asarray(single), atol=1e-6)

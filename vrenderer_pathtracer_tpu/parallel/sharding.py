@@ -83,17 +83,34 @@ def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
     my_samp = lax.axis_index(SAMPLE_AXIS)
     n_tiles = lax.axis_size(TILE_AXIS)
 
+    tile_px = settings.n_pixels // n_tiles
+    start = my_tile * tile_px
+    local = settings.replace(samples_per_pass=local_spp)
+
+    if settings.radiance_kernel == "pallas" and tile_px % 1024 == 0:
+        # Analytic-scene megakernel per shard: pixel identity (primary ray
+        # + RNG counter) comes from the global offset, so shard tiles are
+        # bit-consistent with the single-device image.
+        from vrenderer_pathtracer_tpu.render.pallas_radiance import (
+            render_pass_pallas)
+
+        rgb, depth = render_pass_pallas(
+            scene, local, camera, frame, fresnel_coef, fresnel_pow, seed,
+            pixel_offset=start, sample_offset=my_samp * local_spp,
+            n_local_pixels=tile_px,
+        )
+        rgb = lax.pmean(rgb, SAMPLE_AXIS)
+        depth = lax.pmean(depth, SAMPLE_AXIS)
+        return rgb, depth
+
     # Reconstruct this shard's primary rays from the global pixel ids —
     # ray gen is cheap and local, so nothing is scattered from the host.
-    tile_px = settings.n_pixels // n_tiles
     all_o, all_d = generate_rays(camera, settings.width, settings.height)
     ids = pixel_ids(settings.width, settings.height)
-    start = my_tile * tile_px
     ray_o = lax.dynamic_slice_in_dim(all_o, start * 1, tile_px, axis=0)
     ray_d = lax.dynamic_slice_in_dim(all_d, start * 1, tile_px, axis=0)
     ids = lax.dynamic_slice_in_dim(ids, start, tile_px, axis=0)
 
-    local = settings.replace(samples_per_pass=local_spp)
     rgb, depth = render_pass(
         scene, local, ray_o, ray_d, ids, frame, fresnel_coef, fresnel_pow,
         seed, sample_offset=my_samp * local_spp,

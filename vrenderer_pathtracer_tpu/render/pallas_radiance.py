@@ -88,7 +88,13 @@ def _to_unit(bits):
 
 def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
             *, settings: RenderSettings, n_spheres: int, seed: int):
-    """One (8,128) pixel tile through the full estimator."""
+    """One (8,128) pixel tile through the full estimator.
+
+    ``cam[0,14]`` carries a pixel-id base offset so a shard_map shard can
+    render its own tile of the global image (pixel identity drives both the
+    primary ray and the RNG counter, so offsets keep shards bit-consistent
+    with the single-device image).
+    """
     w = settings.width
     spp = settings.samples_per_pass
     bounces = settings.bounces
@@ -96,7 +102,8 @@ def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
     pid = pl.program_id(0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) * COLS + \
         jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
-    pixel = pid * BLOCK + lane
+    base = cam[0, 14].astype(jnp.int32)
+    pixel = base + pid * BLOCK + lane
     pixel_u = pixel.astype(jnp.uint32)
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
@@ -307,13 +314,20 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
     )
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "seed", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "seed", "interpret",
+                                    "n_local_pixels"))
 def render_pass_pallas(scene: Scene, settings: RenderSettings, camera,
                        frame, fresnel_coef, fresnel_pow, seed: int = 0,
-                       interpret: bool = False):
+                       interpret: bool = False, pixel_offset=None,
+                       sample_offset=None, n_local_pixels: int | None = None):
     """Drop-in analog of integrator.render_pass for supported scenes.
 
-    Returns ``(rgb_mean [N,3], depth [N])``.
+    Returns ``(rgb_mean [N,3], depth [N])``.  Under shard_map, pass
+    ``pixel_offset`` (this shard's first global pixel id),
+    ``sample_offset`` (this shard's first sample id) and
+    ``n_local_pixels`` — results then tile together exactly like the
+    single-device render (RNG streams are global-identity keyed).
     """
     s = scene.spheres
     n_spheres = s.count
@@ -326,20 +340,24 @@ def render_pass_pallas(scene: Scene, settings: RenderSettings, camera,
     aspect = settings.width / settings.height
     cx = (fov_scale * aspect) * right
     cy = fov_scale * up
+    p_off = (jnp.asarray(pixel_offset, jnp.float32)
+             if pixel_offset is not None else jnp.float32(0.0))
     cam = jnp.concatenate([
         origin, view_dir, cx, cy,
-        jnp.stack([fresnel_coef, fresnel_pow]),
-        jnp.zeros((2,), jnp.float32),
+        jnp.stack([fresnel_coef, fresnel_pow, p_off]),
+        jnp.zeros((1,), jnp.float32),
     ])[None, :]  # [1, 16]
 
     # Stream salts for every (sample, bounce, slot) draw this frame.
     spp, bounces = settings.samples_per_pass, settings.bounces
+    s_off = (jnp.asarray(sample_offset, jnp.uint32)
+             if sample_offset is not None else jnp.uint32(0))
     streams = jnp.stack([
-        rng_mod.make_stream(frame, jnp.uint32(si), bi, slot)
+        rng_mod.make_stream(frame, jnp.uint32(si) + s_off, bi, slot)
         for si in range(spp) for bi in range(bounces) for slot in (0, 1)
     ])[None, :]  # [1, spp*bounces*2] uint32
 
-    n = settings.n_pixels
+    n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
     nb = n // BLOCK
     tile = pl.BlockSpec((ROWS, COLS), lambda i: (i, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
