@@ -29,8 +29,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
-from vrenderer_pathtracer_tpu.accel.traverse import TRI_EPS
+from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
+from vrenderer_pathtracer_tpu.accel.pallas_common import make_slab_any, packet_traverse, safe_inv
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
 ROWS = 128        # 16384 rays/block
@@ -52,129 +52,23 @@ def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
-    inv = tuple(
-        1.0 / jnp.where(jnp.abs(c) > 1e-12, c, jnp.where(c >= 0, 1e-12, -1e-12))
-        for c in d
-    )
-
-    def slab_any(lo0, lo1, lo2, hi0, hi1, hi2):
-        best = t_out[:]
-        t0x = (lo0 - o[0]) * inv[0]
-        t1x = (hi0 - o[0]) * inv[0]
-        t0y = (lo1 - o[1]) * inv[1]
-        t1y = (hi1 - o[1]) * inv[1]
-        t0z = (lo2 - o[2]) * inv[2]
-        t1z = (hi2 - o[2]) * inv[2]
-        tn = jnp.maximum(
-            jnp.maximum(jnp.minimum(t0x, t1x), jnp.minimum(t0y, t1y)),
-            jnp.minimum(t0z, t1z),
-        )
-        tf = jnp.minimum(
-            jnp.minimum(jnp.maximum(t0x, t1x), jnp.maximum(t0y, t1y)),
-            jnp.maximum(t0z, t1z),
-        )
-        hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, best)
-        return jnp.any(hit), jnp.min(jnp.where(hit, tn, jnp.inf))
-
+    slab_any = make_slab_any(o, safe_inv(d), t_out)
     page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
                            bbox[page, 3], bbox[page, 4], bbox[page, 5])
 
     @pl.when(page_hit)
     def _():
-        page_base = page * page_tris
-
-        def tri_test(s):
-            v0 = (tv0[0, s, 0], tv0[0, s, 1], tv0[0, s, 2])
-            e1 = (te1[0, s, 0], te1[0, s, 1], te1[0, s, 2])
-            e2 = (te2[0, s, 0], te2[0, s, 1], te2[0, s, 2])
-            px = d[1] * e2[2] - d[2] * e2[1]
-            py = d[2] * e2[0] - d[0] * e2[2]
-            pz = d[0] * e2[1] - d[1] * e2[0]
-            det = e1[0] * px + e1[1] * py + e1[2] * pz
-            ok_det = jnp.abs(det) > TRI_EPS
-            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-            tx = o[0] - v0[0]
-            ty = o[1] - v0[1]
-            tz = o[2] - v0[2]
-            u = (tx * px + ty * py + tz * pz) * inv_det
-            qx = ty * e1[2] - tz * e1[1]
-            qy = tz * e1[0] - tx * e1[2]
-            qz = tx * e1[1] - ty * e1[0]
-            v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
-            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-            ok = (
-                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                & (t > TRI_EPS) & (t < t_out[:])
-            )
-            t_out[:] = jnp.where(ok, t, t_out[:])
-            slot_out[:] = jnp.where(ok, page_base + s, slot_out[:])
-
-        def body(carry):
-            sp, it = carry
-            node = stack[sp - 1]
-            sp = sp - 1
-            c0 = nodes_i[0, node, 0]
-            n0 = nodes_i[0, node, 1]
-            c1 = nodes_i[0, node, 2]
-            n1 = nodes_i[0, node, 3]
-            hit0, near0 = slab_any(
-                nodes_f[0, node, 0], nodes_f[0, node, 1], nodes_f[0, node, 2],
-                nodes_f[0, node, 3], nodes_f[0, node, 4], nodes_f[0, node, 5],
-            )
-            hit1, near1 = slab_any(
-                nodes_f[0, node, 6], nodes_f[0, node, 7], nodes_f[0, node, 8],
-                nodes_f[0, node, 9], nodes_f[0, node, 10], nodes_f[0, node, 11],
-            )
-
-            def leaf(start, count):
-                def tb(k, _):
-                    @pl.when(k < count)
-                    def _():
-                        tri_test(start + k)
-                    return 0
-
-                lax.fori_loop(0, MAX_LEAF, tb, 0, unroll=True)
-
-            is_leaf0 = hit0 & (n0 > 0)
-            is_inner0 = hit0 & (n0 == 0)
-            is_leaf1 = hit1 & (n1 > 0)
-            is_inner1 = hit1 & (n1 == 0)
-
-            @pl.when(is_leaf0)
-            def _():
-                leaf(c0, n0)
-
-            @pl.when(is_leaf1)
-            def _():
-                leaf(c1, n1)
-
-            both = is_inner0 & is_inner1
-            near_is_0 = near0 <= near1
-            first = jnp.where(both, jnp.where(near_is_0, c1, c0),
-                              jnp.where(is_inner0, c0, c1))
-            second = jnp.where(near_is_0, c0, c1)
-            any_push = is_inner0 | is_inner1
-
-            @pl.when(any_push)
-            def _():
-                stack[jnp.minimum(sp, STACK_DEPTH - 1)] = first
-
-            @pl.when(both)
-            def _():
-                stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = second
-
-            sp = jnp.minimum(
-                sp + is_inner0.astype(jnp.int32) + is_inner1.astype(jnp.int32),
-                STACK_DEPTH - 1,
-            )
-            return sp, it + 1
-
-        stack[0] = 0
-        n_nodes = nodes_i.shape[1]
-        lax.while_loop(
-            lambda c: (c[0] > 0) & (c[1] < 4 * n_nodes + STACK_DEPTH),
-            body,
-            (jnp.int32(1), jnp.int32(0)),
+        packet_traverse(
+            o, d, t_out, slot_out, stack,
+            node_f=lambda n, k: nodes_f[0, n, k],
+            node_i=lambda n, k: nodes_i[0, n, k],
+            tri=lambda s: (
+                (tv0[0, s, 0], tv0[0, s, 1], tv0[0, s, 2]),
+                (te1[0, s, 0], te1[0, s, 1], te1[0, s, 2]),
+                (te2[0, s, 0], te2[0, s, 1], te2[0, s, 2]),
+            ),
+            slot_base=page * page_tris,
+            n_nodes=nodes_i.shape[1],
         )
 
 
