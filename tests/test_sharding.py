@@ -191,3 +191,51 @@ def test_sample_chunking_identical():
     chunked = _single_device_pass(SETTINGS.replace(samples_per_chunk=2))
     np.testing.assert_allclose(chunked[0], full[0], atol=2e-6)
     np.testing.assert_array_equal(chunked[1], full[1])
+
+
+def test_train_step_with_camera_and_env_params():
+    """Extended TrainParams (camera + env map) flow through the sharded
+    step: psum'd grads equal single-device jax.grad."""
+    settings = SETTINGS.replace(use_cornell_box=False, has_hdr=True)
+    rng = np.random.default_rng(5)
+    hdr = jnp.asarray(rng.uniform(0.2, 1.0, (8, 16, 3)).astype(np.float32))
+    scene = Scene.analytic(settings, hdr=hdr)
+    cam = Camera.default()
+    target = jnp.zeros((settings.n_pixels, 3), jnp.float32)
+    inv_n = 1.0 / (settings.n_pixels * 3)
+
+    params0 = TrainParams.from_scene(scene, camera=cam, optimize_hdr=True)
+
+    def loss_fn(p):
+        s2 = scene._replace(
+            spheres=scene.spheres._replace(color=p.color, emission=p.emission),
+            hdr=p.hdr,
+        )
+        ray_o, ray_d = generate_rays(p.camera, settings.width, settings.height)
+        ids = pixel_ids(settings.width, settings.height)
+        rgb, _ = render_pass(
+            s2, settings, ray_o, ray_d, ids, jnp.uint32(1),
+            p.fresnel_coef, p.fresnel_pow,
+        )
+        return jnp.sum((rgb - target) ** 2) * inv_n
+
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(params0)
+    assert float(jnp.abs(ref_g.hdr).sum()) > 0
+    assert float(jnp.abs(ref_g.camera.yaw)) >= 0
+
+    mesh = make_render_mesh(n_tiles=4, n_samples=2, devices=cpu_devices()[:8])
+    lr = 0.05
+    step = sharded_train_step(mesh, settings, lr=lr)
+    p_new, loss = step(
+        replicate(mesh, params0), replicate(mesh, scene),
+        replicate(mesh, cam), shard_pixels(mesh, target), jnp.uint32(1),
+    )
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-3)
+    rec = jax.tree.map(lambda a, b: (a - b) / lr, params0, p_new)
+    np.testing.assert_allclose(
+        np.asarray(rec.hdr), np.asarray(ref_g.hdr), rtol=2e-2, atol=2e-3)
+    np.testing.assert_allclose(
+        float(rec.camera.yaw), float(ref_g.camera.yaw), rtol=2e-2, atol=1e-4)
+    np.testing.assert_allclose(
+        float(rec.camera.fov_deg), float(ref_g.camera.fov_deg),
+        rtol=2e-2, atol=1e-4)

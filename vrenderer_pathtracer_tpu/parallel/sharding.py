@@ -171,28 +171,40 @@ class TrainParams(NamedTuple):
     """Differentiable scene parameters for inverse rendering.
 
     The reference has no training; differentiability is the new axis
-    (BASELINE north star: gradients w.r.t. camera, material, env map).
+    (BASELINE north star: gradients w.r.t. camera, material, texture and
+    env map, all-reduced via psum).  ``camera`` and ``hdr`` are optional
+    pytree extensions — None leaves are empty subtrees, so enabling them
+    only changes which gradients flow, not the step's code path.
     """
 
     color: jnp.ndarray      # [N_spheres, 3] albedo
     emission: jnp.ndarray   # [N_spheres, 3]
     fresnel_coef: jnp.ndarray  # []
     fresnel_pow: jnp.ndarray   # []
+    camera: Optional[Camera] = None       # optimize the camera too
+    hdr: Optional[jnp.ndarray] = None     # optimize the environment map
 
     @classmethod
-    def from_scene(cls, scene: Scene, fresnel_coef=0.1, fresnel_pow=3.0):
+    def from_scene(cls, scene: Scene, fresnel_coef=0.1, fresnel_pow=3.0,
+                   camera: Optional[Camera] = None,
+                   optimize_hdr: bool = False):
         return cls(
             color=scene.spheres.color,
             emission=scene.spheres.emission,
             fresnel_coef=jnp.float32(fresnel_coef),
             fresnel_pow=jnp.float32(fresnel_pow),
+            camera=camera,
+            hdr=scene.hdr if optimize_hdr else None,
         )
 
 
 def _apply_params(scene: Scene, params: TrainParams) -> Scene:
-    return scene._replace(
+    scene = scene._replace(
         spheres=scene.spheres._replace(color=params.color, emission=params.emission)
     )
+    if params.hdr is not None:
+        scene = scene._replace(hdr=params.hdr)
+    return scene
 
 
 def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
@@ -219,8 +231,9 @@ def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
     )
     def _step(params, scene, camera, target, frame):
         def loss_fn(p):
+            cam = p.camera if p.camera is not None else camera
             rgb, _ = _shard_pass(
-                _apply_params(scene, p), camera, frame,
+                _apply_params(scene, p), cam, frame,
                 p.fresnel_coef, p.fresnel_pow, settings, seed, local_spp,
             )
             # Local mean-squared error over my pixel tile (already the

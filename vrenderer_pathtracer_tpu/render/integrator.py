@@ -89,7 +89,12 @@ def _intersect_sphere_set(scene: Scene, ray_o, ray_d):
         refl = jnp.where(closer, s.refl[i], refl)
 
     hit = best_t < INF
-    point = ray_o + ray_d * best_t[:, None]
+    # Miss lanes carry t=INF; computing the (masked-out) hit point with it
+    # overflows |point|^2 to inf and 0*NaN then poisons jnp.where's backward
+    # (the standard where-gradient leak).  Clamp t on dead lanes — forward
+    # results are unchanged (all consumers mask by `hit`).
+    t_safe = jnp.where(hit, best_t, 0.0)
+    point = ray_o + ray_d * t_safe[:, None]
     normal = _norm(point - best_pos)
     return HitData(
         hit=hit,
@@ -118,7 +123,8 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     dist = intersect_spheres(ray_o, ray_d, pos[None, :], r[None])[:, 0]
     closer = (dist < prev.t)
 
-    point = ray_o + ray_d * dist[:, None]
+    dist_safe = jnp.where(dist < INF, dist, 0.0)  # see sphere-set note
+    point = ray_o + ray_d * dist_safe[:, None]
     normal = _norm(point - pos[None, :])
     u = jnp.arctan2(normal[:, 0], normal[:, 2]) / (2.0 * jnp.pi) + 0.5
     v = normal[:, 1] * 0.5 + 0.5
