@@ -227,9 +227,11 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     tangent = tangent / jnp.maximum(
         jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
 
+    fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
+             else tex_ops.fetch_nearest)
     use_tex = not settings.use_brdf
     if settings.has_diffuse_map and use_tex:
-        color = tex_ops.fetch_nearest(scene.diffuse_map, uv[:, 0], uv[:, 1])
+        color = fetch(scene.diffuse_map, uv[:, 0], uv[:, 1])
     else:
         color = jnp.ones_like(point)
 
@@ -240,14 +242,14 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
         smooth_n = jnp.sum(mesh.tri_n[safe] * bary, axis=1)
         smooth_n = smooth_n / jnp.maximum(
             jnp.linalg.norm(smooth_n, axis=-1, keepdims=True), 1e-20)
-        texel = tex_ops.fetch_nearest(scene.normal_map, uv[:, 0], uv[:, 1])
+        texel = fetch(scene.normal_map, uv[:, 0], uv[:, 1])
         n_ts = tex_ops.decode_normal_map(texel)
         normal = tex_ops.apply_tbn(smooth_n, tangent, n_ts)
     else:
         normal = face_n
 
     if settings.has_specular_map and use_tex:
-        spec = tex_ops.fetch_nearest(scene.specular_map, uv[:, 0], uv[:, 1])
+        spec = fetch(scene.specular_map, uv[:, 0], uv[:, 1])
     else:
         spec = jnp.zeros_like(point)
 

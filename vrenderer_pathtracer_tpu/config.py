@@ -65,6 +65,10 @@ class RenderSettings:
     # — ~100x the XLA wavefront forward.  Gradient paths always use the
     # differentiable XLA integrator.
     radiance_kernel: str = "auto"
+    # Texture/env fetch mode: "nearest" is reference parity (integer texel
+    # fetch); "bilinear" makes d(pixel)/d(texel) piecewise-linear and the
+    # image smooth in uv/direction — use when optimizing textures/env maps.
+    texture_filter: str = "nearest"
     gamma: float = 2.2
     depth_scale: float = 150.0
     # Number of rays traced per integrator call; the sample loop is chunked so

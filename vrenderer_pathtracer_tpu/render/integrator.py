@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from vrenderer_pathtracer_tpu.config import RenderSettings
 from vrenderer_pathtracer_tpu.core import rng
 from vrenderer_pathtracer_tpu.ops import texture as tex_ops
-from vrenderer_pathtracer_tpu.ops.envmap import sample_env_nearest
+from vrenderer_pathtracer_tpu.ops.envmap import sample_env_bilinear, sample_env_nearest
 from vrenderer_pathtracer_tpu.ops.intersect import INF, intersect_spheres
 from vrenderer_pathtracer_tpu.ops.shading import ORIGIN_OFFSET, scatter
 from vrenderer_pathtracer_tpu.scene.scene import Scene
@@ -129,9 +129,11 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     u = jnp.arctan2(normal[:, 0], normal[:, 2]) / (2.0 * jnp.pi) + 0.5
     v = normal[:, 1] * 0.5 + 0.5
 
+    fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
+             else tex_ops.fetch_nearest)
     use_tex = not settings.use_brdf
     if settings.has_diffuse_map and use_tex:
-        color = tex_ops.fetch_nearest(scene.diffuse_map, u, v)
+        color = fetch(scene.diffuse_map, u, v)
     else:
         color = jnp.ones_like(point)
 
@@ -145,12 +147,12 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     )
 
     if settings.has_normal_map:
-        texel = tex_ops.fetch_nearest(scene.normal_map, u, v)
+        texel = fetch(scene.normal_map, u, v)
         n_ts = tex_ops.decode_normal_map(texel)
         normal = tex_ops.apply_tbn(normal, tangent, n_ts)
 
     if settings.has_specular_map and use_tex:
-        spec = tex_ops.fetch_nearest(scene.specular_map, u, v)
+        spec = fetch(scene.specular_map, u, v)
     else:
         spec = jnp.zeros_like(point)
 
@@ -222,7 +224,9 @@ def radiance(
         if settings.use_cornell_box:
             killed = killed | miss
         elif settings.has_hdr and scene.hdr is not None:
-            env = sample_env_nearest(scene.hdr, ray_d)
+            env_fetch = (sample_env_bilinear if settings.texture_filter == "bilinear"
+                         else sample_env_nearest)
+            env = env_fetch(scene.hdr, ray_d)
             accum = accum + jnp.where(miss[:, None], mask * env, 0.0)
 
         if bounce == 0:
