@@ -53,14 +53,18 @@ def threefry2x32_scalar(k0, k1, x0, x1):
 
 
 def uniform2(seed, pixel_id, stream):
-    k0 = seed & M32
+    counter_salt, key_salt = stream
+    k0 = (seed & M32) ^ key_salt
     k1 = (seed >> 32) & M32
-    b0, b1 = threefry2x32_scalar(k0, k1, pixel_id & M32, stream & M32)
+    b0, b1 = threefry2x32_scalar(k0, k1, pixel_id & M32, counter_salt & M32)
     return F((b0 >> 8) * 2.0 ** -24), F((b1 >> 8) * 2.0 ** -24)
 
 
 def make_stream(frame, sample, bounce, slot):
-    return (((frame << 17) & M32) ^ ((sample << 7) & M32) ^ (bounce << 2) ^ slot) & M32
+    # (counter_salt, key_salt): sample perturbs the key (core/rng.py spec).
+    counter = (((frame << 7) & M32) ^ (bounce << 2) ^ slot) & M32
+    key = (sample * 0x9E3779B9) & M32
+    return counter, key
 
 
 # ---------------------------------------------------------------------------

@@ -33,10 +33,6 @@ def test_uniform2_matches_reference():
     ids = jnp.arange(64, dtype=jnp.uint32)
     stream = rng.make_stream(jnp.uint32(3), jnp.uint32(1), 2, 1)
     a, b = rng.uniform2(12345, ids, stream)
-    for i in range(64):
-        ea, eb = ref.uniform2(12345, i, ref.make_stream(3, 1, 2, 1))
-        assert float(a[i]) == ea if i == 0 else True  # spot value check below
-    # full vector check
     exp = np.array([ref.uniform2(12345, i, ref.make_stream(3, 1, 2, 1)) for i in range(64)])
     np.testing.assert_array_equal(np.asarray(a), exp[:, 0].astype(np.float32))
     np.testing.assert_array_equal(np.asarray(b), exp[:, 1].astype(np.float32))
@@ -56,4 +52,31 @@ def test_streams_are_independent():
     a, _ = rng.uniform2(0, ids, rng.make_stream(jnp.uint32(1), jnp.uint32(0), 0, 0))
     c, _ = rng.uniform2(0, ids, rng.make_stream(jnp.uint32(1), jnp.uint32(0), 1, 0))
     corr = np.corrcoef(np.asarray(a), np.asarray(c))[0, 1]
+    assert abs(corr) < 0.1
+
+
+def test_no_stream_collisions_at_high_sample_ids():
+    """Round-1 bug: sample packed into 10 counter bits collided with frame
+    bits at exactly 1024 spp (sample<<7 carried into frame<<17).  The key-salt
+    scheme must keep every (frame, sample, bounce, slot) distinct."""
+    seen = {}
+    for frame in (1, 2, 1 << 20):
+        for sample in (0, 1, 1023, 1024, 1025, 2048, 4095, 100_000):
+            for bounce in (0, 4, 31):
+                for slot in (0, 1):
+                    key = ref.make_stream(frame, sample, bounce, slot)
+                    assert key not in seen, (
+                        f"collision: {(frame, sample, bounce, slot)} vs "
+                        f"{seen[key]}")
+                    seen[key] = (frame, sample, bounce, slot)
+
+
+def test_high_spp_draws_stay_decorrelated():
+    """Draws at sample 0 vs sample 1024 (the round-1 collision pair with
+    frame 1) must now be independent streams."""
+    ids = jnp.arange(2048, dtype=jnp.uint32)
+    a, _ = rng.uniform2(0, ids, rng.make_stream(jnp.uint32(1), jnp.uint32(0), 0, 0))
+    b, _ = rng.uniform2(0, ids, rng.make_stream(jnp.uint32(0), jnp.uint32(1024), 0, 0))
+    assert not np.array_equal(np.asarray(a), np.asarray(b))
+    corr = np.corrcoef(np.asarray(a), np.asarray(b))[0, 1]
     assert abs(corr) < 0.1

@@ -65,33 +65,47 @@ def _bits_to_unit_float(bits):
     return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
 
+# Odd multiplier (2^32 / golden ratio) spreading sample ids across the key
+# space: sample -> key salt is a bijection on uint32, so no two sample ids
+# ever share a stream regardless of spp or shard offsets.
+_SAMPLE_KEY_MULT = 0x9E3779B9
+
+
 def uniform2(seed: int, pixel_ids, stream):
     """Two independent U[0,1) draws per element.
 
     ``pixel_ids`` — int32/uint32 array of ray identities (any shape).
-    ``stream``    — scalar or array salt; distinct streams give independent draws.
+    ``stream``    — ``(counter_salt, key_salt)`` pair from :func:`make_stream`
+    (scalars or arrays); distinct streams give independent draws.
     """
     pixel_ids = pixel_ids.astype(jnp.uint32)
-    stream = jnp.asarray(stream, jnp.uint32)
-    k0 = jnp.uint32(seed & 0xFFFFFFFF)
+    counter_salt, key_salt = stream
+    counter_salt = jnp.asarray(counter_salt, jnp.uint32)
+    k0 = jnp.uint32(seed & 0xFFFFFFFF) ^ jnp.asarray(key_salt, jnp.uint32)
     k1 = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
-    b0, b1 = threefry2x32(k0, k1, pixel_ids, jnp.broadcast_to(stream, pixel_ids.shape))
+    b0, b1 = threefry2x32(
+        k0, k1, pixel_ids, jnp.broadcast_to(counter_salt, pixel_ids.shape)
+    )
     return _bits_to_unit_float(b0), _bits_to_unit_float(b1)
 
 
-def make_stream(frame, sample, bounce, slot, n_draw_pairs: int = 4):
-    """Pack a (frame, sample, bounce, slot) tuple into a 32-bit stream salt.
+def make_stream(frame, sample, bounce, slot):
+    """Derive the (counter_salt, key_salt) pair for one draw stream.
 
-    Layout: frame in the high bits, then sample (10 bits), bounce (5 bits),
-    slot (2 bits).  Streams collide only after ~2^15 frames at 1024 spp,
-    far beyond any progressive render.
+    Counter word: frame in bits 7.., bounce (5 bits), slot (2 bits) — these
+    are all bounded, so the packing never overlaps (frames up to 2^25).
+    The UNBOUNDED axis — the sample id, which grows with spp and with
+    sample-shard offsets — perturbs the threefry *key* instead (multiplied
+    into the full 32-bit key space), so 1024+ spp and shard offsets can
+    never collide with frame bits.  Round-1 packed sample into 10 counter
+    bits, which overflowed into the frame field at exactly 1024 spp.
     """
-    del n_draw_pairs
     frame = jnp.asarray(frame, jnp.uint32)
     sample = jnp.asarray(sample, jnp.uint32)
-    return (
-        (frame << jnp.uint32(17))
-        ^ (sample << jnp.uint32(7))
+    counter_salt = (
+        (frame << jnp.uint32(7))
         ^ (jnp.uint32(bounce) << jnp.uint32(2))
         ^ jnp.uint32(slot)
     )
+    key_salt = sample * jnp.uint32(_SAMPLE_KEY_MULT)
+    return counter_salt, key_salt

@@ -155,12 +155,15 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
             for ch in range(3):
                 sacc[ch] = sacc[ch] + live_f * m[ch] * em[ch]
 
-            st0 = streams[0, s * bounces * 2 + b * 2]
-            st1 = streams[0, s * bounces * 2 + b * 2 + 1]
+            base_i = (s * bounces + b) * 4
+            st0 = streams[0, base_i]
+            sk0 = streams[0, base_i + 1]
+            st1 = streams[0, base_i + 2]
+            sk1 = streams[0, base_i + 3]
             r0, _ = _threefry2x32_tile(
-                k0, k1, pixel_u, jnp.full((ROWS, COLS), st0, jnp.uint32))
+                k0 ^ sk0, k1, pixel_u, jnp.full((ROWS, COLS), st0, jnp.uint32))
             r2, r3 = _threefry2x32_tile(
-                k0, k1, pixel_u, jnp.full((ROWS, COLS), st1, jnp.uint32))
+                k0 ^ sk1, k1, pixel_u, jnp.full((ROWS, COLS), st1, jnp.uint32))
             u_reflect = _to_unit(r0)
             u_phi = _to_unit(r2)
             u_r = _to_unit(r3)
@@ -354,9 +357,10 @@ def cornell_loss_grads(scene: Scene, settings: RenderSettings, camera, target,
 
     spp, bounces = settings.samples_per_pass, settings.bounces
     streams = jnp.stack([
-        rng_mod.make_stream(frame, jnp.uint32(si), bi, slot)
+        word
         for si in range(spp) for bi in range(bounces) for slot in (0, 1)
-    ])[None, :]
+        for word in rng_mod.make_stream(frame, jnp.uint32(si), bi, slot)
+    ])[None, :]  # interleaved (counter_salt, key_salt) pairs
 
     n = settings.n_pixels
     nb = n // BLOCK

@@ -204,13 +204,18 @@ def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
             sg = sg + jnp.where(live, mg * em_g, 0.0)
             sb = sb + jnp.where(live, mb * em_b, 0.0)
 
-            # --- RNG draws (identical stream spec to core/rng.py) ---------
-            st0 = streams[0, s * bounces * 2 + b * 2]
-            st1 = streams[0, s * bounces * 2 + b * 2 + 1]
+            # --- RNG draws (identical stream spec to core/rng.py): entries
+            # are (counter_salt, key_salt) pairs, key salt carries the
+            # sample id (see rng.make_stream). ------------------------------
+            base_i = (s * bounces + b) * 4
+            st0 = streams[0, base_i]
+            sk0 = streams[0, base_i + 1]
+            st1 = streams[0, base_i + 2]
+            sk1 = streams[0, base_i + 3]
             r0, _ = _threefry2x32_tile(
-                k0, k1, pixel_u, jnp.full((ROWS, COLS), st0, jnp.uint32))
+                k0 ^ sk0, k1, pixel_u, jnp.full((ROWS, COLS), st0, jnp.uint32))
             r2, r3 = _threefry2x32_tile(
-                k0, k1, pixel_u, jnp.full((ROWS, COLS), st1, jnp.uint32))
+                k0 ^ sk1, k1, pixel_u, jnp.full((ROWS, COLS), st1, jnp.uint32))
             u_reflect = _to_unit(r0)
             u_phi = _to_unit(r2)
             u_r = _to_unit(r3)
@@ -348,14 +353,16 @@ def render_pass_pallas(scene: Scene, settings: RenderSettings, camera,
         jnp.zeros((1,), jnp.float32),
     ])[None, :]  # [1, 16]
 
-    # Stream salts for every (sample, bounce, slot) draw this frame.
+    # Stream salts for every (sample, bounce, slot) draw this frame:
+    # interleaved (counter_salt, key_salt) pairs from rng.make_stream.
     spp, bounces = settings.samples_per_pass, settings.bounces
     s_off = (jnp.asarray(sample_offset, jnp.uint32)
              if sample_offset is not None else jnp.uint32(0))
     streams = jnp.stack([
-        rng_mod.make_stream(frame, jnp.uint32(si) + s_off, bi, slot)
+        word
         for si in range(spp) for bi in range(bounces) for slot in (0, 1)
-    ])[None, :]  # [1, spp*bounces*2] uint32
+        for word in rng_mod.make_stream(frame, jnp.uint32(si) + s_off, bi, slot)
+    ])[None, :]  # [1, spp*bounces*4] uint32
 
     n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
     nb = n // BLOCK
