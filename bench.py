@@ -63,7 +63,10 @@ def main():
     camera = replicate(mesh, Camera.default())
     accum = shard_pixels(mesh, jnp.zeros((settings.n_pixels, 3), jnp.float32))
 
-    render = sharded_render_step(mesh, settings)
+    # Resolve "auto" backends from the concrete scene (round-1 bug: the raw
+    # "auto" string reached _shard_pass, which dispatches on the resolved
+    # value only, so the forward bench silently measured the XLA wavefront).
+    render = sharded_render_step(mesh, settings, scene=scene)
     train = sharded_train_step(mesh, settings)
     params = replicate(mesh, TrainParams.from_scene(jax.device_get(scene)))
 

@@ -60,10 +60,12 @@ class RenderSettings:
     # Sort rays by (direction octant, origin Morton) before packet traversal
     # to restore block coherence for bounce rays (accel/sorting.py).
     sort_rays: bool = False
-    # Forward radiance backend: "auto" resolves to the Pallas megakernel
-    # (render/pallas_radiance.py) for TPU-resident analytic Cornell scenes
-    # — ~100x the XLA wavefront forward.  Gradient paths always use the
-    # differentiable XLA integrator.
+    # Forward radiance backend: "auto" resolves (scene/scene.py) to
+    # "pallas" (analytic-Cornell megakernel, render/pallas_radiance.py) or
+    # "pallas_mesh" (general-scene fused kernel with deferred asset
+    # fetches, render/pallas_mesh.py) for TPU-resident scenes in scope,
+    # else "xla" (differentiable wavefront).  Gradient paths always use
+    # the XLA integrator.
     radiance_kernel: str = "auto"
     # Texture/env fetch mode: "nearest" is reference parity (integer texel
     # fetch); "bilinear" makes d(pixel)/d(texel) piecewise-linear and the

@@ -87,20 +87,25 @@ def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
     start = my_tile * tile_px
     local = settings.replace(samples_per_pass=local_spp)
 
-    if settings.radiance_kernel == "pallas" and tile_px % 1024 == 0:
-        # Analytic-scene megakernel per shard: pixel identity (primary ray
-        # + RNG counter) comes from the global offset, so shard tiles are
-        # bit-consistent with the single-device image.
-        from vrenderer_pathtracer_tpu.render.pallas_radiance import (
-            render_pass_pallas)
+    if settings.radiance_kernel in ("pallas", "pallas_mesh") \
+            and tile_px % 1024 == 0:
+        # Megakernel per shard: pixel identity (primary ray + RNG counter)
+        # comes from the global offset, so shard tiles are bit-consistent
+        # with the single-device image.
+        if settings.radiance_kernel == "pallas":
+            from vrenderer_pathtracer_tpu.render.pallas_radiance import (
+                render_pass_pallas as kernel_fn)
+        else:
+            from vrenderer_pathtracer_tpu.render.pallas_mesh import (
+                render_pass_mesh_pallas as kernel_fn)
 
-        rgb, depth = render_pass_pallas(
+        rgb, depth = kernel_fn(
             scene, local, camera, frame, fresnel_coef, fresnel_pow, seed,
             pixel_offset=start, sample_offset=my_samp * local_spp,
             n_local_pixels=tile_px,
         )
         rgb = lax.pmean(rgb, SAMPLE_AXIS)
-        depth = lax.pmean(depth, SAMPLE_AXIS)
+        depth = _last_shard_depth(depth)
         return rgb, depth
 
     # Reconstruct this shard's primary rays from the global pixel ids —
@@ -117,17 +122,41 @@ def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
     )
     # Combine sample sub-batches: mean of means over disjoint RNG streams.
     rgb = lax.pmean(rgb, SAMPLE_AXIS)
-    depth = lax.pmean(depth, SAMPLE_AXIS)
+    depth = _last_shard_depth(depth)
     return rgb, depth
 
 
-def sharded_render_step(mesh: Mesh, settings: RenderSettings, seed: int = 0):
+def _last_shard_depth(depth):
+    """Depth from the LAST sample shard only (single-device semantics).
+
+    ``render_pass`` keeps the globally *last* sample's depth; Cornell kill
+    zeroes escaped samples, so shards disagree and a pmean would halve the
+    value whenever any shard's path escaped.  The last shard holds the
+    globally-last sample id, so selecting it reproduces the single-device
+    last-write convention bitwise.
+    """
+    n_samp = lax.axis_size(SAMPLE_AXIS)
+    is_last = lax.axis_index(SAMPLE_AXIS) == n_samp - 1
+    return lax.psum(jnp.where(is_last, depth, 0.0), SAMPLE_AXIS)
+
+
+def sharded_render_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
+                        scene: Optional[Scene] = None):
     """Build a jitted progressive-pass function sharded over ``mesh``.
 
     Returns ``step(scene, camera, accum, frame, fresnel_coef, fresnel_pow)
     -> (accum', img, depth)`` where ``accum``/``img`` are sharded over the
     pixel axis (tiles) and replicated over samples.
+
+    Pass ``scene`` (the concrete, device-resident scene this step will
+    render) to resolve ``"auto"`` backend settings here — ``_shard_pass``
+    dispatches on the *resolved* string only, so an unresolved "auto" would
+    silently take the slow XLA path (the round-1 bench footgun).
     """
+    if scene is not None:
+        from vrenderer_pathtracer_tpu.scene.scene import settings_for_scene
+
+        settings = settings_for_scene(scene, settings)
     _check_divisible(settings, mesh)
     n_samp = mesh.shape[SAMPLE_AXIS]
     local_spp = max(settings.samples_per_pass // n_samp, 1)
@@ -217,6 +246,11 @@ def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
     mesh axes (the gradient all-reduce rides ICI, overlapped with backward
     by XLA), followed by an SGD update computed redundantly per chip.
     """
+    # Gradients REQUIRE the differentiable XLA integrator: the forward-only
+    # Pallas megakernel has no AD rule, so resolved settings carrying
+    # radiance_kernel="pallas" would fail at trace time inside value_and_grad
+    # (config.py contract: gradient paths always use the XLA integrator).
+    settings = settings.replace(radiance_kernel="xla")
     _check_divisible(settings, mesh)
     n_samp = mesh.shape[SAMPLE_AXIS]
     local_spp = max(settings.samples_per_pass // n_samp, 1)
