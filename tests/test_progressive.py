@@ -41,6 +41,28 @@ def test_checkpoint_resume_bitwise(tmp_path):
     )
 
 
+def test_restored_at_target_does_not_advance(tmp_path):
+    """A checkpoint already at target_spp must display the existing
+    accumulation, not append another pass (round-1 advisor finding)."""
+    r = Renderer(16, 16, settings=SETTINGS)
+    for _ in range(4):  # spp = 8 = target
+        r.render()
+    save_checkpoint(r, tmp_path / "ckpt")
+
+    r2 = Renderer(16, 16, settings=SETTINGS)
+    sched = ProgressiveScheduler(r2, target_spp=8, checkpoint_dir=None)
+    restore_checkpoint(r2, tmp_path / "ckpt")
+    frame_before = r2.frame
+    accum_before = np.asarray(r2._accum).copy()
+    img, depth = sched.run()
+    assert r2.frame == frame_before
+    np.testing.assert_array_equal(np.asarray(r2._accum), accum_before)
+    # Displayed image equals the live renderer's last tonemapped state.
+    live_img, live_depth = r.current_frame()
+    np.testing.assert_array_equal(img, np.asarray(live_img))
+    np.testing.assert_array_equal(depth, np.asarray(live_depth))
+
+
 def test_scheduler_reaches_target(tmp_path):
     r = Renderer(16, 16, settings=SETTINGS)
     seen = []

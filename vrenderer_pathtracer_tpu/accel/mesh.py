@@ -25,10 +25,21 @@ from vrenderer_pathtracer_tpu.scene.scene import MeshData
 # Leaf capacity: the builder (csrc/sbvh.cc kMaxLeaf) forces splits above this,
 # giving the traversal loop a static triangle-test bound.
 MAX_LEAF = 8
-# Traversal stack depth: builder switches to median splits at depth 48
-# (kSahDepthLimit), so tree depth — and thus pending-node count — stays
-# comfortably under this.
-STACK_DEPTH = 64
+# Traversal stack depth.  The builder switches to index-balanced median
+# splits at depth 48 (kSahDepthLimit), bounding total depth by
+# 48 + ceil(log2(T)) < 80 for any T < 2^31 — so 96 slots can never
+# overflow.  The builder reports its actual max depth and
+# ``_check_stack_bound`` hard-errors if the invariant is ever violated,
+# making the kernels' defensive clamp provably dead code.
+STACK_DEPTH = 96
+
+
+def _check_stack_bound(max_depth: int):
+    if max_depth + 2 > STACK_DEPTH:
+        raise ValueError(
+            f"SBVH depth {max_depth} would overflow the traversal stack "
+            f"(STACK_DEPTH={STACK_DEPTH}); rebuild with a shallower tree"
+        )
 
 
 def pack_mesh(mesh: HostMesh, pad_to: int = 128, paged: bool | None = None) -> MeshData:
@@ -53,6 +64,7 @@ def pack_mesh(mesh: HostMesh, pad_to: int = 128, paged: bool | None = None) -> M
 
 
 def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
+    _check_stack_bound(bvh.max_depth)
     order = bvh.tri_order  # [R] original tri index per leaf slot
     tri = mesh.tris[order]  # [R,3] vertex ids
     v0 = mesh.verts[tri[:, 0]]

@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+from vrenderer_pathtracer_tpu.accel.mesh import _check_stack_bound
 from vrenderer_pathtracer_tpu.native import HostMesh, build_sbvh
 from vrenderer_pathtracer_tpu.scene.scene import MeshData, PagedNodes
 
@@ -69,6 +70,7 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         sel = order[p * page_tris: (p + 1) * page_tris]
         page_tri = tris[sel]
         bvh = build_sbvh(mesh.verts, page_tri, allow_spatial=False)
+        _check_stack_bound(bvh.max_depth)
         pages_f.append(bvh.nodes_f)
         pages_i.append(bvh.nodes_i)
         ref = page_tri[bvh.tri_order]  # [R,3] vertex ids, page-local order

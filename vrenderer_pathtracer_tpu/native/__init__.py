@@ -31,7 +31,7 @@ def _load():
     lib.vt_build_sbvh.argtypes = [
         c_fp, ctypes.c_int, c_ip, ctypes.c_int, ctypes.c_int,
         ctypes.POINTER(c_fp), ctypes.POINTER(c_ip), c_ip,
-        ctypes.POINTER(c_ip), c_ip,
+        ctypes.POINTER(c_ip), c_ip, c_ip,
     ]
     lib.vt_load_obj.restype = ctypes.c_int
     lib.vt_load_obj.argtypes = [
@@ -49,6 +49,33 @@ def _load():
     lib.vt_free.argtypes = [ctypes.c_void_p]
     _lib = lib
     return lib
+
+
+# Native return codes -> human-readable reasons, so loader failures surface
+# with filename + cause (SURVEY §5.3 — the reference at least printed errors
+# and wrote errorlog.txt; bare ints would be a regression on that).
+_OBJ_ERRORS = {
+    1: "cannot open file",
+    2: "no geometry found (empty or not an OBJ)",
+}
+_MERL_ERRORS = {
+    1: "cannot open file",
+    2: "truncated header (expected 3 int32 dims)",
+    3: "wrong dimensions (MERL tables must be 90x90x180)",
+    4: "truncated data (expected 3*90*90*180 doubles)",
+}
+_EXR_ERRORS = {
+    1: "cannot open file",
+    2: "not an EXR (bad magic) or unsupported version/tiled layout",
+    3: "bad header (missing/invalid channels or dataWindow)",
+    4: "unsupported feature (compression other than NONE/ZIPS/ZIP, or "
+       "UINT channels, or no R/G/B/Y channels)",
+    5: "truncated or corrupt pixel data",
+}
+
+
+def _reason(table, rc):
+    return table.get(rc, f"unknown error {rc}")
 
 
 def _take(ptr, shape, dtype, lib):
@@ -77,6 +104,7 @@ class FlatBVH(NamedTuple):
     nodes_f: np.ndarray    # [M,12] float32 — child AABBs (lo0,hi0,lo1,hi1)
     nodes_i: np.ndarray    # [M,4]  int32   — (ref,count) per child
     tri_order: np.ndarray  # [R] int32 — original tri index per leaf slot
+    max_depth: int = 0     # deepest inner node (root = 0): stack-bound proof
 
 
 def load_obj(path: str) -> HostMesh:
@@ -92,7 +120,7 @@ def load_obj(path: str) -> HostMesh:
         ctypes.byref(ptris), ctypes.byref(nt),
     )
     if rc != 0:
-        raise IOError(f"vt_load_obj({path}) failed with code {rc}")
+        raise IOError(f"load_obj({path}): {_reason(_OBJ_ERRORS, rc)} (code {rc})")
     v = nv.value
     t = nt.value
     return HostMesh(
@@ -115,20 +143,25 @@ def build_sbvh(verts: np.ndarray, tris: np.ndarray,
     c_ip = ctypes.POINTER(ctypes.c_int)
     pf, pi, po = c_fp(), c_ip(), c_ip()
     n_nodes, n_refs = ctypes.c_int(), ctypes.c_int()
+    max_depth = ctypes.c_int()
     rc = lib.vt_build_sbvh(
         verts.ctypes.data_as(c_fp), len(verts),
         tris.ctypes.data_as(c_ip), len(tris), int(allow_spatial),
         ctypes.byref(pf), ctypes.byref(pi), ctypes.byref(n_nodes),
-        ctypes.byref(po), ctypes.byref(n_refs),
+        ctypes.byref(po), ctypes.byref(n_refs), ctypes.byref(max_depth),
     )
     if rc != 0:
-        raise RuntimeError(f"vt_build_sbvh failed with code {rc}")
+        raise RuntimeError(
+            f"vt_build_sbvh failed with code {rc} "
+            f"({ {1: 'no triangles', 2: 'out of memory'}.get(rc, 'unknown')})"
+        )
     m = n_nodes.value
     r = n_refs.value
     return FlatBVH(
         nodes_f=_take(pf, (m, 12), np.float32, lib),
         nodes_i=_take(pi, (m, 4), np.int32, lib),
         tri_order=_take(po, (r,), np.int32, lib),
+        max_depth=max_depth.value,
     )
 
 
@@ -144,7 +177,7 @@ def load_exr(path: str) -> np.ndarray:
     rc = lib.vt_load_exr(str(path).encode(), ctypes.byref(pd),
                          ctypes.byref(w), ctypes.byref(h))
     if rc != 0:
-        raise IOError(f"vt_load_exr({path}) failed with code {rc}")
+        raise IOError(f"load_exr({path}): {_reason(_EXR_ERRORS, rc)} (code {rc})")
     return _take(pd, (h.value, w.value, 3), np.float32, lib)
 
 
@@ -170,5 +203,5 @@ def load_merl(path: str) -> np.ndarray:
     n = ctypes.c_int()
     rc = lib.vt_load_merl(str(path).encode(), ctypes.byref(pd), ctypes.byref(n))
     if rc != 0:
-        raise IOError(f"vt_load_merl({path}) failed with code {rc}")
+        raise IOError(f"load_merl({path}): {_reason(_MERL_ERRORS, rc)} (code {rc})")
     return _take(pd, (3, n.value), np.float32, lib)

@@ -201,7 +201,12 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
     int32_t y0, dsize;
     if (!r.get(&y0) || !r.get(&dsize) || dsize < 0) goto corrupt;
     y0 -= dw[1];
+    // Unvalidated y0 > h would make nlines negative and the size_t multiply
+    // below wrap to a huge allocation (aborting under -fno-exceptions);
+    // reject out-of-range block headers as corruption instead.
+    if (y0 < 0 || y0 >= h) goto corrupt;
     const int nlines = std::min(lines_per_block, h - y0);
+    if (nlines <= 0) goto corrupt;
     const size_t want = row_bytes * (size_t)nlines;
     packed.resize(dsize);
     if (!r.read(packed.data(), dsize)) goto corrupt;

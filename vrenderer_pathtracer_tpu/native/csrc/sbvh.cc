@@ -75,6 +75,7 @@ class Builder {
   std::vector<float> nodes_f;  // [M,12]
   std::vector<int> nodes_i;    // [M,4]
   std::vector<int> tri_order;  // leaf slots -> original tri index
+  int max_depth = 0;           // deepest inner node (root = 0)
 
  private:
   V3 vert(int i) const {
@@ -364,6 +365,12 @@ class Builder {
   // Allocate a node slot, recurse both children, fill the slot.
   Child emit_inner(std::vector<TriRef> left, AABB lbox, std::vector<TriRef> right,
                    AABB rbox, const AABB& bounds, int depth) {
+    // Depth is tracked so the host can PROVE the traversal kernels' fixed
+    // stack suffices (the kernels' clamp must never fire).  The median-split
+    // fallback below kSahDepthLimit is index-balanced, so depth is bounded
+    // by kSahDepthLimit + ceil(log2(n)) — the Python packer asserts it
+    // against STACK_DEPTH.
+    if (depth > max_depth) max_depth = depth;
     int node = alloc_node();
     Child cl = build_node(std::move(left), lbox, depth + 1);
     Child cr = build_node(std::move(right), rbox, depth + 1);
@@ -444,16 +451,18 @@ extern "C" {
 //   nodes_i: [n_nodes*4]  child (ref,count) pairs; see header comment
 //   order:   [n_refs] original triangle index per leaf slot (duplicates ok)
 // allow_spatial=0 builds an object-split-only BVH (no ref duplication —
-// used for fixed-budget mesh pages).
+// used for fixed-budget mesh pages).  max_depth receives the deepest inner
+// node level (root = 0) so callers can verify traversal stack bounds.
 int vt_build_sbvh(const float* verts, int n_verts, const int* tris, int n_tris,
                   int allow_spatial, float** nodes_f, int** nodes_i,
-                  int* n_nodes, int** order, int* n_refs) {
+                  int* n_nodes, int** order, int* n_refs, int* max_depth) {
   (void)n_verts;
   if (n_tris <= 0) return 1;
   Builder b(verts, tris, n_tris, allow_spatial != 0);
   b.build();
   *n_nodes = (int)(b.nodes_i.size() / 4);
   *n_refs = (int)b.tri_order.size();
+  *max_depth = b.max_depth;
   *nodes_f = (float*)std::malloc(b.nodes_f.size() * sizeof(float));
   *nodes_i = (int*)std::malloc(b.nodes_i.size() * sizeof(int));
   *order = (int*)std::malloc(b.tri_order.size() * sizeof(int));

@@ -39,14 +39,17 @@ def checkpoint_state(renderer: Renderer) -> dict:
     Leaves are materialised to host numpy so restore needs no sharding
     specs; restoring onto a device mesh re-shards via ``shard_pixels``.
     """
-    return jax.tree.map(np.asarray, {
+    state = {
         "accum": renderer._accum,
         "frame": np.int64(renderer.frame),
         "seed": np.int64(renderer.seed),
         "camera": renderer.camera._asdict(),
         "fresnel_coef": renderer.fresnel_coef,
         "fresnel_pow": renderer.fresnel_pow,
-    })
+    }
+    if renderer._last_depth is not None:
+        state["depth"] = renderer._last_depth
+    return jax.tree.map(np.asarray, state)
 
 
 def save_checkpoint(renderer: Renderer, path) -> None:
@@ -68,6 +71,8 @@ def restore_checkpoint(renderer: Renderer, path) -> Renderer:
     })
     renderer.fresnel_coef = jnp.asarray(state["fresnel_coef"])
     renderer.fresnel_pow = jnp.asarray(state["fresnel_pow"])
+    depth = state.get("depth")
+    renderer._last_depth = None if depth is None else jnp.asarray(depth)
     return renderer
 
 
@@ -113,6 +118,9 @@ class ProgressiveScheduler:
             ):
                 jax.block_until_ready(r._accum)
                 save_checkpoint(r, pathlib.Path(self.checkpoint_dir) / "latest")
-        if img is None:  # already at/past target (e.g. restored)
-            img, depth = r.render()
+        if img is None:
+            # Already at/past target (e.g. restored): display the existing
+            # accumulation without appending a pass beyond the requested
+            # sample count.
+            img, depth = r.current_frame()
         return np.asarray(img), np.asarray(depth)

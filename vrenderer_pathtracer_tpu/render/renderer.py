@@ -47,6 +47,13 @@ def _render_step(scene, camera, accum, frame, fresnel_coef, fresnel_pow,
         rgb, depth = render_pass_pallas(
             scene, settings, camera, frame, fresnel_coef, fresnel_pow, seed
         )
+    elif settings.radiance_kernel == "pallas_mesh":
+        from vrenderer_pathtracer_tpu.render.pallas_mesh import (
+            render_pass_mesh_pallas)
+
+        rgb, depth = render_pass_mesh_pallas(
+            scene, settings, camera, frame, fresnel_coef, fresnel_pow, seed
+        )
     else:
         ray_o, ray_d = generate_rays(camera, settings.width, settings.height)
         ids = pixel_ids(settings.width, settings.height)
@@ -104,6 +111,7 @@ class Renderer:
         self.frame = 1
         n = self.settings.n_pixels
         self._accum = jnp.zeros((n, 3), jnp.float32)
+        self._last_depth = None  # persistent depth buffer (reference GL tex)
         if self.device_mesh is not None:
             from vrenderer_pathtracer_tpu.parallel.sharding import shard_pixels
 
@@ -256,6 +264,7 @@ class Renderer:
                 self.seed,
             )
         self.frame += 1
+        self._last_depth = depth
         if sync:
             import time as _time
 
@@ -306,6 +315,28 @@ class Renderer:
                 self.fxaa_subpix_quality, self.fxaa_edge_threshold,
             ).reshape(-1, 3)
         return accum, img, depth
+
+    def current_frame(self):
+        """Display the EXISTING accumulation without advancing state.
+
+        Returns (image01 [H,W,3], depth [H,W]) from the stored (accum,
+        frame, depth) triple — what the reference shows between kernel
+        launches.  Used when a restored checkpoint is already at the target
+        sample count so displaying must not append another pass."""
+        h, w = self.settings.height, self.settings.width
+        frames_done = max(self.frame - 1, 1)
+        img = tonemap(self._accum, frames_done, self.settings.gamma)
+        if self.settings.use_fxaa:
+            from vrenderer_pathtracer_tpu.ops.fxaa import fxaa
+
+            img = fxaa(
+                img.reshape(h, w, 3),
+                self.fxaa_subpix_quality, self.fxaa_edge_threshold,
+            ).reshape(-1, 3)
+        depth = self._last_depth
+        if depth is None:
+            depth = jnp.ones((self.settings.n_pixels,), jnp.float32)
+        return img.reshape(h, w, 3), depth.reshape(h, w)
 
     def hud_line(self) -> str:
         """fps / ms / spp / Mrays one-liner (reference ``src/NGLScene.cpp:
