@@ -28,6 +28,36 @@ def safe_inv(d):
     )
 
 
+def root_exit_clamp(o, d, t_max, nodes_f):
+    """Clamp per-lane search bounds to the root-box exit distance.
+
+    Any triangle hit satisfies ``t <= exit(root box)``, so a lane's search
+    bound can be tightened to it for free.  Lanes whose rays miss the root
+    box entirely get bound 0 and thus fail every subsequent slab test —
+    without this, miss lanes carried t=1e6 and forced the block-wide
+    any-hit vote to descend subtrees no lane could ever hit.  A small
+    relative margin guards fp disagreement between this slab test and the
+    per-node ones.
+    """
+    inv = safe_inv(d)
+    lo = (jnp.minimum(nodes_f[0, 0], nodes_f[0, 6]),
+          jnp.minimum(nodes_f[0, 1], nodes_f[0, 7]),
+          jnp.minimum(nodes_f[0, 2], nodes_f[0, 8]))
+    hi = (jnp.maximum(nodes_f[0, 3], nodes_f[0, 9]),
+          jnp.maximum(nodes_f[0, 4], nodes_f[0, 10]),
+          jnp.maximum(nodes_f[0, 5], nodes_f[0, 11]))
+    tn = jnp.full_like(t_max, -jnp.inf)
+    tf = jnp.full_like(t_max, jnp.inf)
+    for k in range(3):
+        t0 = (lo[k] - o[k]) * inv[k]
+        t1 = (hi[k] - o[k]) * inv[k]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit_root = jnp.maximum(tn, 0.0) <= tf
+    bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
+    return jnp.minimum(t_max, bound)
+
+
 def make_slab_any(o, inv, t_out):
     """Vector slab test vs one scalar AABB -> (any_hit, min entry t)."""
 
@@ -54,7 +84,7 @@ def make_slab_any(o, inv, t_out):
 
 
 def packet_traverse(o, d, t_out, slot_out, stack, *,
-                    node_f, node_i, tri, slot_base, n_nodes):
+                    node_f, node_i, tri, slot_base, n_nodes, on_hit=None):
     """Traverse one BVH for one ray block, updating best hits in place.
 
     ``o``/``d``       — 3-tuples of (R,C) component tiles.
@@ -64,6 +94,11 @@ def packet_traverse(o, d, t_out, slot_out, stack, *,
     ``node_i(n,k)``   — scalar fetch of node int k ((ref,count) pairs, 4).
     ``tri(s)``        — scalar fetch tuple (v0, e1, e2) of 3-tuples for slot s.
     ``slot_base``     — added to local slots when writing winners (paging).
+    ``on_hit(s, ok, u, v, e1, e2)`` — optional hook called per triangle test
+    with the win mask and per-lane barycentrics; the fused radiance kernel
+    uses it to capture shading attributes (normal, uv, tangent) at win time
+    — the triangle's data is broadcast as scalars HERE, which is what makes
+    gather-free mesh shading possible on Mosaic.
     """
     inv = safe_inv(d)
     slab_any = make_slab_any(o, inv, t_out)
@@ -91,6 +126,8 @@ def packet_traverse(o, d, t_out, slot_out, stack, *,
         )
         t_out[:] = jnp.where(ok, t, t_out[:])
         slot_out[:] = jnp.where(ok, slot_base + s, slot_out[:])
+        if on_hit is not None:
+            on_hit(s, ok, u, v, e1, e2)
 
     def leaf(start, count):
         def tb(k, _):

@@ -44,13 +44,28 @@ def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
     # permutation; early pages set best_t so later page bboxes prune.
     page = perm_ref[pl.program_id(1)]
 
-    @pl.when(pl.program_id(1) == 0)  # first page STEP for this ray block
-    def _():
-        t_out[:] = tmax_ref[:]
-        slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
-
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
+
+    @pl.when(pl.program_id(1) == 0)  # first page STEP for this ray block
+    def _():
+        slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
+        # Clamp search bounds to the global mesh-box exit (see
+        # pallas_common.root_exit_clamp): miss lanes go silent instead of
+        # dragging every page in.
+        inv = safe_inv(d)
+        tn = jnp.full((ROWS, COLS), -jnp.inf, jnp.float32)
+        tf = jnp.full((ROWS, COLS), jnp.inf, jnp.float32)
+        for k in range(3):
+            glo = jnp.min(bbox[:, k])
+            ghi = jnp.max(bbox[:, 3 + k])
+            t0 = (glo - o[k]) * inv[k]
+            t1 = (ghi - o[k]) * inv[k]
+            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+        hit_root = jnp.maximum(tn, 0.0) <= tf
+        bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
+        t_out[:] = jnp.minimum(tmax_ref[:], bound)
     slab_any = make_slab_any(o, safe_inv(d), t_out)
     page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
                            bbox[page, 3], bbox[page, 4], bbox[page, 5])
@@ -69,6 +84,11 @@ def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
             slot_base=page * page_tris,
             n_nodes=nodes_i.shape[1],
         )
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)  # last page step
+    def _():
+        # Report the caller's t_max on miss lanes (contract of traverse()).
+        t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

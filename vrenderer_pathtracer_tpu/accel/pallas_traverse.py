@@ -55,11 +55,19 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
             ox, oy, oz, dx, dy, dz, tmax_ref,
             slot_out, t_out, stack):
     """One ray block vs the whole (VMEM-resident) BVH."""
-    t_out[:] = tmax_ref[:]
+    from vrenderer_pathtracer_tpu.accel.pallas_common import root_exit_clamp
+
     slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    # Miss-lane fix (round-1 collapse): a lane that will never hit anything
+    # must not keep t=1e6 and drag the block's any-hit vote through the
+    # whole tree.  No triangle lies beyond the root-box exit, so every
+    # lane's search bound is clamped to it (0 for lanes missing the root
+    # box entirely — they then fail every slab test and go silent).
+    t_out[:] = root_exit_clamp(o, d, tmax_ref[:], nodes_f)
     packet_traverse(
-        (ox[:], oy[:], oz[:]),
-        (dx[:], dy[:], dz[:]),
+        o, d,
         t_out, slot_out, stack,
         node_f=lambda n, k: nodes_f[n, k],
         node_i=lambda n, k: nodes_i[n, k],
@@ -71,6 +79,8 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
         slot_base=0,
         n_nodes=nodes_i.shape[0],
     )
+    # Report the caller's t_max on miss lanes (contract of traverse()).
+    t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -31,7 +31,15 @@ def _spread3(v):
 
 
 def ray_sort_keys(ray_o, ray_d, lo, hi):
-    """[B] uint32 sort keys: direction octant (3 bits) | origin Morton (27)."""
+    """[B] uint32 keys: octant (3) | origin Morton (15) | direction Morton (14).
+
+    Origin locality dominates (bounce rays from nearby surface points march
+    through the same subtrees); the direction Morton below it splits ties —
+    crucially, for *pinhole primaries* every origin is identical, so the key
+    degenerates to a direction sort, which tiles the image into compact 2-D
+    footprints instead of full raster rows (a 1024-lane row spanning the
+    whole silhouette visits the union of the entire tree; a compact tile
+    does not — the round-1 mixed hit/miss collapse)."""
     octant = (
         (ray_d[:, 0] >= 0).astype(jnp.uint32)
         | ((ray_d[:, 1] >= 0).astype(jnp.uint32) << jnp.uint32(1))
@@ -40,12 +48,23 @@ def ray_sort_keys(ray_o, ray_d, lo, hi):
     span = jnp.maximum(hi - lo, 1e-12)
     q = jnp.clip((ray_o - lo) / span, 0.0, 1.0)
     q = (q * 511.0).astype(jnp.uint32)
-    morton = (
+    morton_o = (
         (_spread3(q[:, 0]) << jnp.uint32(2))
         | (_spread3(q[:, 1]) << jnp.uint32(1))
         | _spread3(q[:, 2])
+    )  # 27 bits, keep top 15
+    qd = jnp.clip((ray_d + 1.0) * 0.5, 0.0, 1.0)
+    qd = (qd * 511.0).astype(jnp.uint32)
+    morton_d = (
+        (_spread3(qd[:, 0]) << jnp.uint32(2))
+        | (_spread3(qd[:, 1]) << jnp.uint32(1))
+        | _spread3(qd[:, 2])
+    )  # 27 bits, keep top 14
+    return (
+        (octant << jnp.uint32(29))
+        | ((morton_o >> jnp.uint32(12)) << jnp.uint32(14))
+        | (morton_d >> jnp.uint32(13))
     )
-    return (octant << jnp.uint32(27)) | (morton >> jnp.uint32(5))
 
 
 def mesh_bounds(mesh):
