@@ -1,0 +1,106 @@
+"""Fused mesh-scene megakernel vs the XLA wavefront (interpret mode).
+
+Kernel-vs-oracle equivalence (the repo's dual-backend discipline) for each
+scene class the kernel claims: mesh-in-Cornell, textured mesh under HDRI,
+and the config-4 shape (example sphere + MERL + HDRI).  Comparisons are
+outlier-tolerant: the two compilations legitimately flip discrete branches
+on a small fraction of pixels (see test_golden_cornell.py docstring).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays, pixel_ids
+from vrenderer_pathtracer_tpu.native import load_obj
+from vrenderer_pathtracer_tpu.ops.brdf import TABLE_SIZE
+from vrenderer_pathtracer_tpu.render.integrator import render_pass
+from vrenderer_pathtracer_tpu.render.pallas_mesh import (
+    render_pass_mesh_pallas, supports)
+from vrenderer_pathtracer_tpu.scene.scene import Scene
+from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+from tests.test_mesh_render import write_uv_sphere
+
+W, H = 32, 32  # 1024 pixels = one kernel block
+
+
+@pytest.fixture(scope="module")
+def mesh(tmp_path_factory):
+    p = tmp_path_factory.mktemp("mesh") / "sphere.obj"
+    write_uv_sphere(p, radius=12.0, n_theta=8, n_phi=12)
+    return pack_mesh(load_obj(str(p)))
+
+
+def _compare(scene, settings, frame=1, seed=0, outlier_frac=0.02):
+    cam = Camera.default()
+    ray_o, ray_d = generate_rays(cam, settings.width, settings.height)
+    ids = pixel_ids(settings.width, settings.height)
+    rgb_x, depth_x = render_pass(
+        scene, settings, ray_o, ray_d, ids, jnp.uint32(frame),
+        jnp.float32(0.1), jnp.float32(3.0), seed)
+    rgb_p, depth_p = render_pass_mesh_pallas(
+        scene, settings, cam, jnp.uint32(frame), jnp.float32(0.1),
+        jnp.float32(3.0), seed, interpret=True)
+    diff = np.abs(np.asarray(rgb_x - rgb_p)).max(axis=-1)
+    assert (diff > 1e-3).mean() <= outlier_frac, (
+        f"{(diff > 1e-3).mean():.3%} pixels diverge, max {diff.max()}")
+    good = diff <= 1e-3
+    assert diff[good].mean() <= 1e-4
+    ddiff = np.abs(np.asarray(depth_x - depth_p))
+    assert (ddiff > 1e-3).mean() <= outlier_frac
+    return np.asarray(rgb_p)
+
+
+def test_mesh_in_cornell_parity(mesh):
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=True, has_hdr=False, has_mesh=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh)
+    assert supports(scene, settings)
+    rgb = _compare(scene, settings)
+    assert rgb.mean() > 0.01  # lit
+
+
+def test_textured_mesh_under_hdri_parity(mesh):
+    rng = np.random.default_rng(3)
+    hdr = jnp.asarray(rng.uniform(0, 1.5, (8, 16, 3)).astype(np.float32))
+    tex = jnp.asarray(rng.uniform(0.1, 1.0, (16, 16, 3)).astype(np.float32))
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=False, has_hdr=True, has_mesh=True,
+        has_diffuse_map=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(False), mesh=mesh, hdr=hdr,
+                  diffuse_map=tex)
+    assert supports(scene, settings)
+    rgb = _compare(scene, settings)
+    assert rgb.mean() > 0.01
+
+
+def test_example_sphere_merl_hdri_parity():
+    rng = np.random.default_rng(5)
+    hdr = jnp.asarray(rng.uniform(0, 1.5, (8, 16, 3)).astype(np.float32))
+    table = jnp.asarray(
+        rng.uniform(0.0, 300.0, (3, TABLE_SIZE)).astype(np.float32))
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=False, has_hdr=True, use_example_sphere=True,
+        use_brdf=True, has_brdf=True)
+    scene = Scene(spheres=build_sphere_set(False), hdr=hdr, brdf=table)
+    assert supports(scene, settings)
+    # MERL bin boundaries amplify index fp-noise into value jumps; allow a
+    # slightly larger outlier fraction than the pure-geometry cases.
+    rgb = _compare(scene, settings, outlier_frac=0.04)
+    assert rgb.mean() > 0.01
+
+
+def test_supports_scope(mesh):
+    base = RenderSettings(width=W, height=H, use_cornell_box=True,
+                          has_hdr=False, has_mesh=True)
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh)
+    assert supports(scene, base)
+    assert not supports(scene, base.replace(has_normal_map=True))
+    assert not supports(scene, base.replace(has_specular_map=True))
+    assert not supports(scene, base.replace(use_brdf=True))  # no table
+    assert not supports(scene, base.replace(width=100))  # block divisibility

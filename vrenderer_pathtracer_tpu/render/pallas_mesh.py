@@ -1,0 +1,799 @@
+"""Fused mesh-scene radiance megakernel with deferred asset fetches.
+
+Round-1's Pallas megakernel (pallas_radiance.py) covered only analytic
+Cornell scenes; every mesh/HDRI/MERL/texture workload fell back to the XLA
+wavefront, paying an HBM round trip of the full per-lane carry state every
+bounce.  This kernel is the general-scene counterpart: the ENTIRE bounce
+loop — sphere intersection, SBVH packet traversal (accel/pallas_common.py),
+example-sphere shading, Fresnel/diffuse/mirror/BRDF scattering, RNG,
+accumulation — runs in VMEM, matching the reference's one-megakernel
+generality (``cuda/src/PathTracer.cu:597-770``) in TPU shape.
+
+The one thing Mosaic cannot do is per-lane vector gathers, which texture,
+environment-map and MERL-table fetches need.  The kernel solves this two
+ways:
+
+* **Mesh attributes are gather-free by construction**: the packet traversal
+  broadcasts one triangle at a time as scalars, so the winning triangle's
+  normal/uv/tangent are captured AT WIN TIME via the ``on_hit`` hook — no
+  post-hoc gather by slot index.
+* **Table fetches are deferred**: quantities whose *value* never influences
+  control flow or ray directions — the HDRI miss radiance, the diffuse
+  texture colour, the MERL reflectance — enter the estimator only as
+  multiplicative/additive factors.  The kernel emits compact per-bounce
+  records (miss-weighted throughput + direction, uv, MERL index) and a thin
+  XLA epilogue performs the gathers and composes
+
+      radiance = sum_b [ A_b * PD_b  +  E_b * env(dir_b) * PD_b ],
+      PD_b     = prod_{j<b} D_j,
+
+  where ``A_b = live_b * M_b * em_b`` and ``E_b = miss_b * M_b`` carry the
+  kernel-known throughput ``M_b = prod_{j<b} K_j`` and ``D_j`` are the
+  deferred factors (texture colour, ``24*max(merl,0)``; 1 elsewhere).
+
+What stays out of scope (falls back to the XLA wavefront): normal maps
+(change ray directions) and specular maps (change the Fresnel branch
+probability) — their fetched values feed control flow, so they cannot be
+deferred; paged (VMEM-exceeding) meshes.
+
+RNG/estimator parity: bit-identical stream spec to core/rng.py and the same
+constants as render/integrator.py; interpret-mode equivalence vs the XLA
+wavefront is tested per scene class (tests/test_pallas_mesh.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
+from vrenderer_pathtracer_tpu.accel.pallas_common import (
+    packet_traverse, root_exit_clamp)
+from vrenderer_pathtracer_tpu.config import RenderSettings
+from vrenderer_pathtracer_tpu.core import rng as rng_mod
+from vrenderer_pathtracer_tpu.ops import texture as tex_ops
+from vrenderer_pathtracer_tpu.ops.brdf import (
+    CHANNEL_SCALE, RES_PHI_D, RES_THETA_D, RES_THETA_H)
+from vrenderer_pathtracer_tpu.ops.envmap import sample_env_bilinear, sample_env_nearest
+from vrenderer_pathtracer_tpu.ops.intersect import INF, SPHERE_EPS
+from vrenderer_pathtracer_tpu.ops.shading import ORIGIN_OFFSET
+from vrenderer_pathtracer_tpu.render.pallas_radiance import (
+    BLOCK, COLS, ROWS, _threefry2x32_tile, _to_unit)
+from vrenderer_pathtracer_tpu.scene.scene import Scene
+from vrenderer_pathtracer_tpu.scene.spheres import (
+    EXAMPLE_SPHERE_POS, EXAMPLE_SPHERE_RADIUS, SPEC)
+
+# VMEM budget for the scene-resident arrays (nodes + triangles + attrs),
+# leaving room for the per-lane tile working set and double buffering.
+VMEM_SCENE_BUDGET = 10 * 1024 * 1024
+
+
+class _Defer:
+    """Static deferral plan derived from settings (hashable via fields)."""
+
+    def __init__(self, settings: RenderSettings):
+        self.env = settings.has_hdr and not settings.use_cornell_box
+        self.tex = settings.has_diffuse_map and not settings.use_brdf and (
+            settings.has_mesh or settings.use_example_sphere)
+        self.merl = settings.use_brdf and settings.has_brdf and (
+            settings.has_mesh or settings.use_example_sphere)
+        # Emission terms must be deferred whenever a multiplicative factor
+        # is (A_b needs the not-yet-known PD_b prefix).
+        self.emit = self.tex or self.merl
+        self.any = self.env or self.tex or self.merl
+
+    def slots_per_sb(self) -> int:
+        n = 0
+        if self.emit:
+            n += 3      # A_b
+        if self.env:
+            n += 6      # E_b + dir_b
+        if self.tex:
+            n += 2      # uv_b
+        if self.merl:
+            n += 1      # midx_b
+        return n
+
+
+def _n_slots(settings: RenderSettings, defer: _Defer) -> int:
+    base = 1  # depth
+    if defer.any:
+        return base + settings.samples_per_pass * settings.bounces * \
+            defer.slots_per_sb()
+    return base + 3  # fused rgb
+
+
+def supports(scene: Scene, settings: RenderSettings) -> bool:
+    """Kernel scope (everything else falls back to the XLA wavefront)."""
+    if settings.n_pixels % BLOCK:
+        return False
+    if settings.has_normal_map or settings.has_specular_map:
+        return False
+    if settings.use_brdf and not settings.has_brdf:
+        return False
+    if settings.samples_per_pass * settings.bounces > 32:
+        return False  # per-(s,b) output slots / compile-size bound
+    if settings.has_mesh and not settings.use_example_sphere:
+        mesh = scene.mesh
+        if mesh is None or mesh.paged is not None:
+            return False
+        defer = _Defer(settings)
+        t = mesh.tri_v0.shape[0]
+        bytes_needed = 64 * mesh.nodes_f.shape[0] + 3 * 12 * t
+        if defer.tex:
+            bytes_needed += 24 * t
+        if defer.merl:
+            bytes_needed += 36 * t
+        if bytes_needed >= VMEM_SCENE_BUDGET:
+            return False
+    return True
+
+
+def _merl_index_tile(cd, d, n, t):
+    """MERL flat index on component tiles (ops/brdf.py merl_index spec).
+
+    ``cd`` (scattered out dir), ``d`` (incoming ray dir), ``n`` (normal),
+    ``t`` (tangent): 3-tuples of (8,128) tiles.  Returns float32 index tile
+    (exact integers; the table is 1.458e6 < 2^24 entries).
+    """
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    def cross(a, b):
+        return (a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0])
+
+    def norm3(a, eps=1e-12):
+        inv = lax.rsqrt(jnp.maximum(dot(a, a), eps * eps))
+        return (a[0] * inv, a[1] * inv, a[2] * inv)
+
+    bit = cross(n, t)
+    h = norm3((cd[0] - d[0], cd[1] - d[1], cd[2] - d[2]))
+    theta_h = jnp.arccos(jnp.clip(dot(n, h), 0.0, 1.0))
+    theta_d = jnp.arccos(jnp.clip(dot(h, cd), 0.0, 1.0))
+
+    phi_tangent = jnp.arctan2(
+        jnp.clip(-dot(cd, bit), -1.0, 1.0), jnp.clip(dot(cd, t), -1.0, 1.0))
+    nh = dot(n, h)
+    u = (n[0] - nh * h[0], n[1] - nh * h[1], n[2] - nh * h[2])
+    uinv = lax.rsqrt(jnp.maximum(dot(u, u), 1e-24))
+    u = (-u[0] * uinv, -u[1] * uinv, -u[2] * uinv)
+    v = cross(h, u)
+    phi_gs = jnp.arctan2(
+        jnp.clip(dot(cd, v), -1.0, 1.0), jnp.clip(dot(cd, u), -1.0, 1.0))
+
+    small_td = theta_d < 1e-3
+    big_th = theta_h > 1e-3
+    phi_d = jnp.where(small_td, phi_tangent, jnp.where(big_th, phi_gs, 0.0))
+    theta_h = jnp.where(small_td | big_th, theta_h, 0.0)
+
+    phi_d = jnp.where(phi_d < 0.0, phi_d + jnp.pi, phi_d)
+    idx_pd = jnp.clip((phi_d * (RES_PHI_D / jnp.pi)).astype(jnp.int32),
+                      0, RES_PHI_D - 1)
+    idx_th = jnp.where(
+        theta_h <= 0.0, 0,
+        jnp.clip((jnp.sqrt(theta_h * (2.0 / jnp.pi)) * RES_THETA_H)
+                 .astype(jnp.int32), 0, RES_THETA_H - 1))
+    idx_td = jnp.clip((theta_d * (2.0 / jnp.pi * RES_THETA_D))
+                      .astype(jnp.int32), 0, RES_THETA_D - 1)
+    idx = idx_pd + idx_td * RES_PHI_D + idx_th * RES_PHI_D * RES_THETA_D
+    return idx.astype(jnp.float32)
+
+
+def _kernel(cam, spheres, streams, *rest,
+            settings: RenderSettings, n_spheres: int, seed: int,
+            defer: _Defer, n_slots: int):
+    """One (8,128) pixel tile through the full general-scene estimator."""
+    has_mesh = settings.has_mesh and not settings.use_example_sphere
+    use_example = settings.use_example_sphere
+    w = settings.width
+    spp = settings.samples_per_pass
+    bounces = settings.bounces
+
+    rest = list(rest)
+    if has_mesh:
+        nodes_f = rest.pop(0)
+        nodes_i = rest.pop(0)
+        tv0 = rest.pop(0)
+        te1 = rest.pop(0)
+        te2 = rest.pop(0)
+        tuv = rest.pop(0) if defer.tex else None
+        ttan = rest.pop(0) if defer.merl else None
+    out = rest.pop(0)
+    if has_mesh:
+        t_scr = rest.pop(0)
+        slot_scr = rest.pop(0)
+        stack = rest.pop(0)
+        nx_scr = rest.pop(0)
+        ny_scr = rest.pop(0)
+        nz_scr = rest.pop(0)
+        uvu_scr = rest.pop(0) if defer.tex else None
+        uvv_scr = rest.pop(0) if defer.tex else None
+        txx_scr = rest.pop(0) if defer.merl else None
+        txy_scr = rest.pop(0) if defer.merl else None
+        txz_scr = rest.pop(0) if defer.merl else None
+
+    pid = pl.program_id(0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) * COLS + \
+        jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
+    base = cam[0, 14].astype(jnp.int32)
+    pixel = base + pid * BLOCK + lane
+    pixel_u = pixel.astype(jnp.uint32)
+    px = (pixel % w).astype(jnp.float32)
+    py = (pixel // w).astype(jnp.float32)
+
+    def c(i):
+        return cam[0, i]
+
+    u0 = (0.25 + px) / settings.width - 0.5
+    v0 = (0.25 + py) / settings.height - 0.5
+    d0x = c(3) + u0 * c(6) + v0 * c(9)
+    d0y = c(4) + u0 * c(7) + v0 * c(10)
+    d0z = c(5) + u0 * c(8) + v0 * c(11)
+    inv_len = lax.rsqrt(d0x * d0x + d0y * d0y + d0z * d0z)
+    d0x, d0y, d0z = d0x * inv_len, d0y * inv_len, d0z * inv_len
+
+    k0 = jnp.uint32(seed & 0xFFFFFFFF)
+    k1 = jnp.uint32((seed >> 32) & 0xFFFFFFFF)
+    fresnel_coef = c(12)
+    fresnel_pow = c(13)
+
+    zero = jnp.zeros((ROWS, COLS), jnp.float32)
+    one = jnp.ones((ROWS, COLS), jnp.float32)
+    acc_r = zero
+    acc_g = zero
+    acc_b = zero
+    depth = jnp.ones((ROWS, COLS), jnp.float32)
+    records = {}  # (name, s, b) -> tile(s)
+
+    for s in range(spp):
+        ox = jnp.full((ROWS, COLS), c(0))
+        oy = jnp.full((ROWS, COLS), c(1))
+        oz = jnp.full((ROWS, COLS), c(2))
+        dx, dy, dz = d0x, d0y, d0z
+        mr = one
+        mg = one
+        mb = one
+        alive = jnp.ones((ROWS, COLS), bool)
+        killed = jnp.zeros((ROWS, COLS), bool)
+        sr = zero
+        sg = zero
+        sb = zero
+        sample_rec = []  # (key, tile) written after kill is known
+
+        for b in range(bounces):
+            # --- analytic sphere running-min (pallas_radiance shape) ------
+            best_t = jnp.full((ROWS, COLS), INF, jnp.float32)
+            n_x = zero
+            n_y = zero
+            n_z = zero
+            col_r = zero
+            col_g = zero
+            col_b = zero
+            em_r = zero
+            em_g = zero
+            em_b = zero
+            spec0 = zero
+            refl_f = jnp.ones((ROWS, COLS), jnp.float32)
+            for i in range(n_spheres):
+                sp_x, sp_y, sp_z = spheres[i, 0], spheres[i, 1], spheres[i, 2]
+                rad = spheres[i, 3]
+                opx = sp_x - ox
+                opy = sp_y - oy
+                opz = sp_z - oz
+                bq = opx * dx + opy * dy + opz * dz
+                det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
+                ok = det >= 0.0
+                sq = jnp.sqrt(jnp.where(ok, det, 0.0))
+                tn = bq - sq
+                tf = bq + sq
+                t = jnp.where(tn > SPHERE_EPS, tn,
+                              jnp.where(tf > SPHERE_EPS, tf, 0.0))
+                hit_i = ok & (t > 0.0) & (t < best_t)
+                best_t = jnp.where(hit_i, t, best_t)
+                hx = ox + dx * t - sp_x
+                hy = oy + dy * t - sp_y
+                hz = oz + dz * t - sp_z
+                inl = lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-40))
+                n_x = jnp.where(hit_i, hx * inl, n_x)
+                n_y = jnp.where(hit_i, hy * inl, n_y)
+                n_z = jnp.where(hit_i, hz * inl, n_z)
+                col_r = jnp.where(hit_i, spheres[i, 4], col_r)
+                col_g = jnp.where(hit_i, spheres[i, 5], col_g)
+                col_b = jnp.where(hit_i, spheres[i, 6], col_b)
+                em_r = jnp.where(hit_i, spheres[i, 7], em_r)
+                em_g = jnp.where(hit_i, spheres[i, 8], em_g)
+                em_b = jnp.where(hit_i, spheres[i, 9], em_b)
+                spec0 = jnp.where(hit_i, spheres[i, 10], spec0)
+                refl_f = jnp.where(hit_i, spheres[i, 11], refl_f)
+
+            is_brdf = jnp.zeros((ROWS, COLS), bool)
+            uv_u = jnp.full((ROWS, COLS), -1.0, jnp.float32)
+            uv_v = zero
+            tan_x = one
+            tan_y = zero
+            tan_z = zero
+
+            if use_example:
+                # Reference cuda/src/PathTracer.cu:192-268, with the
+                # fresh-normal UV divergence (SURVEY §7).
+                ex_px, ex_py, ex_pz = EXAMPLE_SPHERE_POS
+                ex_r = EXAMPLE_SPHERE_RADIUS
+                opx = ex_px - ox
+                opy = ex_py - oy
+                opz = ex_pz - oz
+                bq = opx * dx + opy * dy + opz * dz
+                det = bq * bq - (opx * opx + opy * opy + opz * opz) + ex_r * ex_r
+                ok = det >= 0.0
+                sq = jnp.sqrt(jnp.where(ok, det, 0.0))
+                tn = bq - sq
+                tf = bq + sq
+                t = jnp.where(tn > SPHERE_EPS, tn,
+                              jnp.where(tf > SPHERE_EPS, tf, 0.0))
+                ex_hit = ok & (t > 0.0) & (t < best_t)
+                hx = ox + dx * t
+                hy = oy + dy * t
+                hz = oz + dz * t
+                nx2 = hx - ex_px
+                ny2 = hy - ex_py
+                nz2 = hz - ex_pz
+                inl = lax.rsqrt(jnp.maximum(
+                    nx2 * nx2 + ny2 * ny2 + nz2 * nz2, 1e-40))
+                nx2, ny2, nz2 = nx2 * inl, ny2 * inl, nz2 * inl
+                best_t = jnp.where(ex_hit, t, best_t)
+                n_x = jnp.where(ex_hit, nx2, n_x)
+                n_y = jnp.where(ex_hit, ny2, n_y)
+                n_z = jnp.where(ex_hit, nz2, n_z)
+                col_r = jnp.where(ex_hit, 1.0, col_r)
+                col_g = jnp.where(ex_hit, 1.0, col_g)
+                col_b = jnp.where(ex_hit, 1.0, col_b)
+                em_r = jnp.where(ex_hit, 0.0, em_r)
+                em_g = jnp.where(ex_hit, 0.0, em_g)
+                em_b = jnp.where(ex_hit, 0.0, em_b)
+                spec0 = jnp.where(ex_hit, 0.0, spec0)
+                refl_f = jnp.where(ex_hit, 1.0, refl_f)  # DIFF slot
+                if settings.use_brdf:
+                    is_brdf = is_brdf | ex_hit
+                if defer.tex:
+                    eu = jnp.arctan2(nx2, nz2) / (2.0 * jnp.pi) + 0.5
+                    ev = ny2 * 0.5 + 0.5
+                    uv_u = jnp.where(ex_hit, eu, uv_u)
+                    uv_v = jnp.where(ex_hit, ev, uv_v)
+                if defer.merl:
+                    # Spherical tangent estimate (reference :232-235).
+                    pr = jnp.sqrt(jnp.maximum(
+                        hx * hx + hy * hy + hz * hz, 1e-24))
+                    theta = jnp.arccos(jnp.clip(hz / pr, -1.0, 1.0))
+                    phi = jnp.arctan2(hy, hx)
+                    st = jnp.sin(theta)
+                    tan_x = jnp.where(ex_hit, st * jnp.cos(phi), tan_x)
+                    tan_y = jnp.where(ex_hit, st * jnp.sin(phi), tan_y)
+                    tan_z = jnp.where(ex_hit, jnp.cos(theta), tan_z)
+
+            if has_mesh:
+                # --- fused packet traversal, attrs captured at win time ---
+                slot_scr[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
+                t_scr[:] = root_exit_clamp(
+                    (ox, oy, oz), (dx, dy, dz), best_t, nodes_f)
+
+                def on_hit(sl, okm, bu, bv, se1, se2):
+                    fx = se1[1] * se2[2] - se1[2] * se2[1]
+                    fy = se1[2] * se2[0] - se1[0] * se2[2]
+                    fz = se1[0] * se2[1] - se1[1] * se2[0]
+                    finv = lax.rsqrt(jnp.maximum(
+                        fx * fx + fy * fy + fz * fz, 1e-40))
+                    nx_scr[:] = jnp.where(okm, fx * finv, nx_scr[:])
+                    ny_scr[:] = jnp.where(okm, fy * finv, ny_scr[:])
+                    nz_scr[:] = jnp.where(okm, fz * finv, nz_scr[:])
+                    bw = 1.0 - bu - bv
+                    # tuv/ttan are rank-2 [T,6]/[T,9] (corner-major): rank-3
+                    # refs would tile the trailing (3,2) dims to (8,128)
+                    # each — a 170x VMEM blowup.
+                    if defer.tex:
+                        iu = (bw * tuv[sl, 0] + bu * tuv[sl, 2]
+                              + bv * tuv[sl, 4])
+                        iv = (bw * tuv[sl, 1] + bu * tuv[sl, 3]
+                              + bv * tuv[sl, 5])
+                        uvu_scr[:] = jnp.where(okm, iu, uvu_scr[:])
+                        uvv_scr[:] = jnp.where(okm, iv, uvv_scr[:])
+                    if defer.merl:
+                        tx = (bw * ttan[sl, 0] + bu * ttan[sl, 3]
+                              + bv * ttan[sl, 6])
+                        ty = (bw * ttan[sl, 1] + bu * ttan[sl, 4]
+                              + bv * ttan[sl, 7])
+                        tz = (bw * ttan[sl, 2] + bu * ttan[sl, 5]
+                              + bv * ttan[sl, 8])
+                        tinv = lax.rsqrt(jnp.maximum(
+                            tx * tx + ty * ty + tz * tz, 1e-40))
+                        txx_scr[:] = jnp.where(okm, tx * tinv, txx_scr[:])
+                        txy_scr[:] = jnp.where(okm, ty * tinv, txy_scr[:])
+                        txz_scr[:] = jnp.where(okm, tz * tinv, txz_scr[:])
+
+                packet_traverse(
+                    (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
+                    node_f=lambda n, k: nodes_f[n, k],
+                    node_i=lambda n, k: nodes_i[n, k],
+                    tri=lambda sl: (
+                        (tv0[sl, 0], tv0[sl, 1], tv0[sl, 2]),
+                        (te1[sl, 0], te1[sl, 1], te1[sl, 2]),
+                        (te2[sl, 0], te2[sl, 1], te2[sl, 2]),
+                    ),
+                    slot_base=0,
+                    n_nodes=nodes_i.shape[0],
+                    on_hit=on_hit,
+                )
+                mesh_won = slot_scr[:] >= 0
+                best_t = jnp.where(mesh_won, t_scr[:], best_t)
+                n_x = jnp.where(mesh_won, nx_scr[:], n_x)
+                n_y = jnp.where(mesh_won, ny_scr[:], n_y)
+                n_z = jnp.where(mesh_won, nz_scr[:], n_z)
+                col_r = jnp.where(mesh_won, 1.0, col_r)
+                col_g = jnp.where(mesh_won, 1.0, col_g)
+                col_b = jnp.where(mesh_won, 1.0, col_b)
+                em_r = jnp.where(mesh_won, 0.0, em_r)
+                em_g = jnp.where(mesh_won, 0.0, em_g)
+                em_b = jnp.where(mesh_won, 0.0, em_b)
+                spec0 = jnp.where(mesh_won, 0.0, spec0)
+                refl_f = jnp.where(mesh_won, 1.0, refl_f)
+                if settings.use_brdf:
+                    is_brdf = is_brdf | mesh_won
+                if defer.tex:
+                    uv_u = jnp.where(mesh_won, uvu_scr[:], uv_u)
+                    uv_v = jnp.where(mesh_won, uvv_scr[:], uv_v)
+                if defer.merl:
+                    tan_x = jnp.where(mesh_won, txx_scr[:], tan_x)
+                    tan_y = jnp.where(mesh_won, txy_scr[:], tan_y)
+                    tan_z = jnp.where(mesh_won, txz_scr[:], tan_z)
+
+            is_spec = (refl_f == float(SPEC)) & ~is_brdf
+            hit = best_t < INF
+            live = alive & hit
+            miss = alive & ~hit
+            if settings.use_cornell_box:
+                killed = killed | miss
+
+            if b == 0:
+                depth = jnp.where(live, best_t / settings.depth_scale, depth)
+
+            live_f = jnp.where(live, 1.0, 0.0)
+            if defer.emit:
+                sample_rec.append((("A", s, b), [
+                    live_f * mr * em_r, live_f * mg * em_g,
+                    live_f * mb * em_b]))
+            else:
+                sr = sr + live_f * mr * em_r
+                sg = sg + live_f * mg * em_g
+                sb = sb + live_f * mb * em_b
+
+            if defer.env:
+                miss_f = jnp.where(miss, 1.0, 0.0)
+                sample_rec.append((("E", s, b), [
+                    miss_f * mr, miss_f * mg, miss_f * mb]))
+                sample_rec.append((("dir", s, b), [dx, dy, dz]))
+
+            # --- RNG draws (core/rng.py stream spec) ----------------------
+            base_i = (s * bounces + b) * 4
+            st0 = streams[0, base_i]
+            sk0 = streams[0, base_i + 1]
+            st1 = streams[0, base_i + 2]
+            sk1 = streams[0, base_i + 3]
+            r0, _ = _threefry2x32_tile(
+                k0 ^ sk0, k1, pixel_u, jnp.full((ROWS, COLS), st0, jnp.uint32))
+            r2, r3 = _threefry2x32_tile(
+                k0 ^ sk1, k1, pixel_u, jnp.full((ROWS, COLS), st1, jnp.uint32))
+            u_reflect = _to_unit(r0)
+            u_phi = _to_unit(r2)
+            u_r = _to_unit(r3)
+
+            # --- scatter (ops/shading.py semantics) -----------------------
+            hx = ox + dx * best_t
+            hy = oy + dy * best_t
+            hz = oz + dz * best_t
+
+            ddn = dx * n_x + dy * n_y + dz * n_z
+            rfx = dx - 2.0 * ddn * n_x
+            rfy = dy - 2.0 * ddn * n_y
+            rfz = dz - 2.0 * ddn * n_z
+            rlen = lax.rsqrt(jnp.maximum(
+                rfx * rfx + rfy * rfy + rfz * rfz, 1e-40))
+
+            aoi = -ddn
+            grazing = jnp.power(jnp.maximum(1.0 - aoi, 0.0), fresnel_pow)
+            fresnel = (grazing * (1.0 - fresnel_coef) + fresnel_coef) * spec0
+            take_reflect = u_reflect < fresnel
+
+            flip = jnp.abs(n_x) > 0.1
+            ax = jnp.where(flip, 0.0, 1.0)
+            ay = jnp.where(flip, 1.0, 0.0)
+            ux_ = ay * n_z
+            uy_ = -ax * n_z
+            uz_ = ax * n_y - ay * n_x
+            ul = lax.rsqrt(jnp.maximum(
+                ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-40))
+            ux_, uy_, uz_ = ux_ * ul, uy_ * ul, uz_ * ul
+            vx_ = n_y * uz_ - n_z * uy_
+            vy_ = n_z * ux_ - n_x * uz_
+            vz_ = n_x * uy_ - n_y * ux_
+            phi = 2.0 * jnp.pi * u_phi
+            rr = jnp.sqrt(u_r)
+            cp = jnp.cos(phi) * rr
+            spn = jnp.sin(phi) * rr
+            wz = jnp.sqrt(jnp.maximum(1.0 - u_r, 0.0))
+            cdx = ux_ * cp + vx_ * spn + n_x * wz
+            cdy = uy_ * cp + vy_ * spn + n_y * wz
+            cdz = uz_ * cp + vz_ * spn + n_z * wz
+            cl = lax.rsqrt(jnp.maximum(
+                cdx * cdx + cdy * cdy + cdz * cdz, 1e-40))
+            cdx, cdy, cdz = cdx * cl, cdy * cl, cdz * cl
+
+            cosw = (cdx * n_x + cdy * n_y + cdz * n_z) * 2.0
+            ndx = jnp.where(take_reflect, rfx * rlen, cdx)
+            ndy = jnp.where(take_reflect, rfy * rlen, cdy)
+            ndz = jnp.where(take_reflect, rfz * rlen, cdz)
+            mult_r = jnp.where(take_reflect, spec0, col_r * cosw)
+            mult_g = jnp.where(take_reflect, spec0, col_g * cosw)
+            mult_b = jnp.where(take_reflect, spec0, col_b * cosw)
+
+            # BRDF hits: cosine sample, kernel factor 1, table deferred.
+            if defer.merl:
+                ndx = jnp.where(is_brdf, cdx, ndx)
+                ndy = jnp.where(is_brdf, cdy, ndy)
+                ndz = jnp.where(is_brdf, cdz, ndz)
+                mult_r = jnp.where(is_brdf, 1.0, mult_r)
+                mult_g = jnp.where(is_brdf, 1.0, mult_g)
+                mult_b = jnp.where(is_brdf, 1.0, mult_b)
+                midx = _merl_index_tile(
+                    (cdx, cdy, cdz), (dx, dy, dz),
+                    (n_x, n_y, n_z), (tan_x, tan_y, tan_z))
+                midx = jnp.where(live & is_brdf, midx, -1.0)
+                sample_rec.append((("midx", s, b), [midx]))
+
+            if defer.tex:
+                # Texture colour deferred: kernel col was set to 1 on
+                # textured hits; record uv (-1 = no texture factor).
+                tex_active = live & (uv_u >= 0.0) & ~take_reflect & ~is_brdf
+                sample_rec.append((("uv", s, b), [
+                    jnp.where(tex_active, uv_u, -1.0),
+                    jnp.where(tex_active, uv_v, 0.0)]))
+
+            # SPEC mirror overrides.
+            ndx = jnp.where(is_spec, rfx, ndx)
+            ndy = jnp.where(is_spec, rfy, ndy)
+            ndz = jnp.where(is_spec, rfz, ndz)
+            mult_r = jnp.where(is_spec, 1.0, mult_r)
+            mult_g = jnp.where(is_spec, 1.0, mult_g)
+            mult_b = jnp.where(is_spec, 1.0, mult_b)
+
+            ox = jnp.where(live, hx + ORIGIN_OFFSET * n_x, ox)
+            oy = jnp.where(live, hy + ORIGIN_OFFSET * n_y, oy)
+            oz = jnp.where(live, hz + ORIGIN_OFFSET * n_z, oz)
+            dx = jnp.where(live, ndx, dx)
+            dy = jnp.where(live, ndy, dy)
+            dz = jnp.where(live, ndz, dz)
+            mr = jnp.where(live, mr * mult_r, mr)
+            mg = jnp.where(live, mg * mult_g, mg)
+            mb = jnp.where(live, mb * mult_b, mb)
+            alive = live
+
+        not_killed = ~killed
+        if settings.use_cornell_box:
+            depth = jnp.where(killed, 0.0, depth)
+        nk_f = jnp.where(not_killed, 1.0, 0.0)
+        for key, tiles in sample_rec:
+            if key[0] in ("A", "E"):
+                tiles = [t * nk_f for t in tiles]
+            records[key] = tiles
+        if not defer.any or not defer.emit:
+            sr = jnp.where(killed, 0.0, sr)
+            sg = jnp.where(killed, 0.0, sg)
+            sb = jnp.where(killed, 0.0, sb)
+            acc_r = acc_r + sr
+            acc_g = acc_g + sg
+            acc_b = acc_b + sb
+
+    # --- write the slot-blocked output ------------------------------------
+    slot = 0
+
+    def write(tile):
+        nonlocal slot
+        out[slot * ROWS:(slot + 1) * ROWS, :] = tile
+        slot += 1
+
+    write(depth)
+    if defer.any:
+        if not defer.emit:
+            inv_spp = 1.0 / spp
+            # env-only deferral still sums the emission part in-kernel
+            records[("rgb",)] = [acc_r * inv_spp, acc_g * inv_spp,
+                                 acc_b * inv_spp]
+        for s in range(spp):
+            for b in range(bounces):
+                for name in ("A", "E", "dir", "uv", "midx"):
+                    tiles = records.get((name, s, b))
+                    if tiles is not None:
+                        for t in tiles:
+                            write(t)
+        if not defer.emit:
+            for t in records[("rgb",)]:
+                write(t)
+    else:
+        inv_spp = 1.0 / spp
+        write(acc_r * inv_spp)
+        write(acc_g * inv_spp)
+        write(acc_b * inv_spp)
+    assert slot <= n_slots, (slot, n_slots)
+
+
+def _layout(settings: RenderSettings, defer: _Defer):
+    """Slot index per field, mirroring the kernel's write order."""
+    idx = {}
+    slot = 0
+    idx[("depth",)] = slot
+    slot += 1
+    if defer.any:
+        for s in range(settings.samples_per_pass):
+            for b in range(settings.bounces):
+                if defer.emit:
+                    idx[("A", s, b)] = slot
+                    slot += 3
+                if defer.env:
+                    idx[("E", s, b)] = slot
+                    slot += 3
+                    idx[("dir", s, b)] = slot
+                    slot += 3
+                if defer.tex:
+                    idx[("uv", s, b)] = slot
+                    slot += 2
+                if defer.merl:
+                    idx[("midx", s, b)] = slot
+                    slot += 1
+        if not defer.emit:
+            idx[("rgb",)] = slot
+            slot += 3
+    else:
+        idx[("rgb",)] = slot
+        slot += 3
+    return idx, slot
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("settings", "seed", "interpret",
+                                    "n_local_pixels"))
+def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
+                            frame, fresnel_coef, fresnel_pow, seed: int = 0,
+                            interpret: bool = False, pixel_offset=None,
+                            sample_offset=None,
+                            n_local_pixels: int | None = None):
+    """General-scene fused forward pass; drop-in for integrator.render_pass.
+
+    Returns ``(rgb_mean [N,3], depth [N])``.  Sharding hooks
+    (``pixel_offset``/``sample_offset``/``n_local_pixels``) behave as in
+    render_pass_pallas.
+    """
+    defer = _Defer(settings)
+    s = scene.spheres
+    n_spheres = s.count
+    sph = jnp.concatenate([
+        s.pos, s.radius[:, None], s.color, s.emission,
+        s.spec_color[:, 0:1], s.refl[:, None].astype(jnp.float32),
+    ], axis=1)
+
+    origin, view_dir, up, right, fov_scale = camera.basis()
+    aspect = settings.width / settings.height
+    cx = (fov_scale * aspect) * right
+    cy = fov_scale * up
+    p_off = (jnp.asarray(pixel_offset, jnp.float32)
+             if pixel_offset is not None else jnp.float32(0.0))
+    cam = jnp.concatenate([
+        origin, view_dir, cx, cy,
+        jnp.stack([fresnel_coef, fresnel_pow, p_off]),
+        jnp.zeros((1,), jnp.float32),
+    ])[None, :]
+
+    spp, bounces = settings.samples_per_pass, settings.bounces
+    s_off = (jnp.asarray(sample_offset, jnp.uint32)
+             if sample_offset is not None else jnp.uint32(0))
+    streams = jnp.stack([
+        word
+        for si in range(spp) for bi in range(bounces) for slot in (0, 1)
+        for word in rng_mod.make_stream(frame, jnp.uint32(si) + s_off, bi, slot)
+    ])[None, :]
+
+    n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
+    nb = n // BLOCK
+    layout, n_slots = _layout(settings, defer)
+
+    small = pl.BlockSpec(memory_space=pltpu.VMEM)
+    inputs = [cam, sph, streams]
+    in_specs = [small, small, small]
+
+    has_mesh = settings.has_mesh and not settings.use_example_sphere
+    scratch = []
+    if has_mesh:
+        mesh = scene.mesh
+        inputs += [mesh.nodes_f, mesh.nodes_i,
+                   mesh.tri_v0, mesh.tri_e1, mesh.tri_e2]
+        in_specs += [small] * 5
+        if defer.tex:
+            inputs.append(mesh.tri_uv.reshape(-1, 6))   # corner-major [T,6]
+            in_specs.append(small)
+        if defer.merl:
+            inputs.append(mesh.tri_t.reshape(-1, 9))    # corner-major [T,9]
+            in_specs.append(small)
+        tile_f32 = pltpu.VMEM((ROWS, COLS), jnp.float32)
+        scratch = [tile_f32, pltpu.VMEM((ROWS, COLS), jnp.int32),
+                   pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                   tile_f32, tile_f32, tile_f32]
+        if defer.tex:
+            scratch += [tile_f32, tile_f32]
+        if defer.merl:
+            scratch += [tile_f32, tile_f32, tile_f32]
+
+    out_spec = pl.BlockSpec((n_slots * ROWS, COLS), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, settings=settings, n_spheres=n_spheres,
+                          seed=seed, defer=defer, n_slots=n_slots),
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * n_slots * ROWS, COLS),
+                                       jnp.float32),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*inputs)
+
+    blocks = out.reshape(nb, n_slots, ROWS, COLS)
+
+    def field(key, width):
+        k = layout[key]
+        return [blocks[:, k + j].reshape(-1) for j in range(width)]
+
+    depth = field(("depth",), 1)[0][:n]
+    if not defer.any:
+        r, g, bch = field(("rgb",), 3)
+        return jnp.stack([r, g, bch], axis=-1)[:n], depth
+
+    # --- XLA epilogue: the deferred gathers + composition ------------------
+    fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
+             else tex_ops.fetch_nearest)
+    env_fetch = (sample_env_bilinear if settings.texture_filter == "bilinear"
+                 else sample_env_nearest)
+    total = jnp.zeros((nb * BLOCK, 3), jnp.float32)
+    for si in range(spp):
+        pd = jnp.ones((nb * BLOCK, 3), jnp.float32)
+        for bi in range(bounces):
+            if defer.emit:
+                a = jnp.stack(field(("A", si, bi), 3), axis=-1)
+                total = total + a * pd
+            if defer.env:
+                e = jnp.stack(field(("E", si, bi), 3), axis=-1)
+                dirs = jnp.stack(field(("dir", si, bi), 3), axis=-1)
+                total = total + e * pd * env_fetch(scene.hdr, dirs)
+            d_fac = jnp.ones((nb * BLOCK, 3), jnp.float32)
+            if defer.tex:
+                uu, vv = field(("uv", si, bi), 2)
+                texc = fetch(scene.diffuse_map, jnp.maximum(uu, 0.0), vv)
+                d_fac = d_fac * jnp.where(uu[:, None] >= 0.0, texc, 1.0)
+            if defer.merl:
+                (mi,) = field(("midx", si, bi), 1)
+                idx = jnp.clip(mi, 0.0, None).astype(jnp.int32)
+                val = scene.brdf[:, idx].T * CHANNEL_SCALE[None, :]
+                fac = 24.0 * jnp.maximum(val, 0.0)
+                d_fac = d_fac * jnp.where(mi[:, None] >= 0.0, fac, 1.0)
+            pd = pd * d_fac
+    total = total / spp
+    if not defer.emit:
+        r, g, bch = field(("rgb",), 3)
+        total = total + jnp.stack([r, g, bch], axis=-1)
+    return total[:n], depth

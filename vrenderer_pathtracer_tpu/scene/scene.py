@@ -102,6 +102,7 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
         except (AttributeError, TypeError):
             platforms = set()
         if platforms == {"tpu"}:
+            from vrenderer_pathtracer_tpu.render import pallas_mesh
             from vrenderer_pathtracer_tpu.render.pallas_radiance import supports
 
             probe = settings.replace(
@@ -111,9 +112,15 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
                 has_diffuse_map=scene.diffuse_map is not None,
                 has_normal_map=scene.normal_map is not None,
                 has_specular_map=scene.specular_map is not None,
+                traversal=traversal,
             )
             if supports(scene, probe):
+                # Analytic-Cornell megakernel: narrowest scope, has the
+                # hand-derived backward twin (pallas_grad).
                 radiance_kernel = "pallas"
+            elif pallas_mesh.supports(scene, probe):
+                # General-scene fused kernel with deferred asset fetches.
+                radiance_kernel = "pallas_mesh"
     return settings.replace(
         radiance_kernel=radiance_kernel,
         has_diffuse_map=scene.diffuse_map is not None,
