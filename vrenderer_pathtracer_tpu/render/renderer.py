@@ -189,12 +189,13 @@ class Renderer:
         self._mutate(mesh=mesh)
 
     def load_mesh(self, path: str):
-        """Load an OBJ, build the SBVH, upload (reference ``loadMesh`` slot:
-        ``src/NGLScene.cpp:345-366`` — Assimp import + SBVH + GPU pack)."""
+        """Load an OBJ/PLY, build the SBVH, upload (reference ``loadMesh``
+        slot: ``src/NGLScene.cpp:345-366`` — Assimp import + SBVH + GPU
+        pack; the dialog accepts obj/ply/fbx)."""
         from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
-        from vrenderer_pathtracer_tpu.native import load_obj
+        from vrenderer_pathtracer_tpu.native import load_mesh_file
 
-        self.init_mesh(pack_mesh(load_obj(path)))
+        self.init_mesh(pack_mesh(load_mesh_file(path)))
 
     def use_brdf(self, enable: bool):
         self.settings = self.settings.replace(use_brdf=enable)
