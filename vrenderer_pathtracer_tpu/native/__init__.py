@@ -47,6 +47,9 @@ def _load():
     lib.vt_load_exr.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip, c_ip]
     lib.vt_write_exr.restype = ctypes.c_int
     lib.vt_write_exr.argtypes = [ctypes.c_char_p, c_fp, ctypes.c_int, ctypes.c_int]
+    lib.vt_write_exr_c.restype = ctypes.c_int
+    lib.vt_write_exr_c.argtypes = [ctypes.c_char_p, c_fp, ctypes.c_int,
+                                   ctypes.c_int, ctypes.c_int]
     lib.vt_free.restype = None
     lib.vt_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -232,17 +235,23 @@ def load_exr(path: str) -> np.ndarray:
     return _take(pd, (h.value, w.value, 3), np.float32, lib)
 
 
-def write_exr(path: str, rgb: np.ndarray) -> None:
-    """Write [H,W,3] float32 as an uncompressed half EXR."""
+def write_exr(path: str, rgb: np.ndarray, compression: str = "none") -> None:
+    """Write [H,W,3] float32 as a half EXR.
+
+    ``compression`` — "none" or "piz" (wavelet+Huffman, the common wild
+    format; csrc/piz.cc)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, np.float32)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected [H,W,3], got {rgb.shape}")
+    codes = {"none": 0, "piz": 4}
+    if compression not in codes:
+        raise ValueError(f"unsupported compression {compression!r}")
     c_fp = ctypes.POINTER(ctypes.c_float)
-    rc = lib.vt_write_exr(str(path).encode(), rgb.ctypes.data_as(c_fp),
-                          rgb.shape[1], rgb.shape[0])
+    rc = lib.vt_write_exr_c(str(path).encode(), rgb.ctypes.data_as(c_fp),
+                            rgb.shape[1], rgb.shape[0], codes[compression])
     if rc != 0:
-        raise IOError(f"vt_write_exr({path}) failed with code {rc}")
+        raise IOError(f"write_exr({path}) failed with code {rc}")
 
 
 def load_merl(path: str) -> np.ndarray:

@@ -2,12 +2,12 @@
 //
 // Host-native counterpart of the reference's HDRI ingestion, which uses the
 // OpenEXR RgbaInputFile API inline in the GL layer
-// (src/NGLScene.cpp:205-231,368-401).  This implementation reads the subset
-// real-world lat-long HDRIs use: single-part scanline images, HALF or FLOAT
-// channels, NONE / ZIPS / ZIP compression.  Output is planar-interleaved
-// RGB float32 rows (top-down, matching the reference's Rgba buffer order).
-// The writer emits uncompressed FLOAT scanlines (for golden files and
-// render output).
+// (src/NGLScene.cpp:205-231,368-401).  Reads single-part scanline images
+// with HALF or FLOAT channels under NONE / RLE / ZIPS / ZIP / PIZ / PXR24
+// compression — PIZ being what most wild HDRIs use (csrc/piz.cc holds the
+// wavelet+Huffman codec).  Output is planar-interleaved RGB float32 rows
+// (top-down, matching the reference's Rgba buffer order).  The writer
+// emits HALF scanlines, uncompressed or PIZ.
 
 #include <zlib.h>
 
@@ -20,6 +20,14 @@
 #include <vector>
 
 namespace vtrace {
+
+// csrc/piz.cc
+bool piz_uncompress(const uint8_t* in, size_t in_len, int nx, int ny,
+                    const int* ch_size_shorts, int n_ch, uint8_t* out);
+bool piz_compress(const uint8_t* in, int nx, int ny,
+                  const int* ch_size_shorts, int n_ch,
+                  std::vector<uint8_t>* out);
+
 namespace {
 
 constexpr uint32_t kMagic = 20000630;  // 0x762f3101 little-endian
@@ -90,7 +98,8 @@ struct Reader {
 };
 
 // EXR zip post-processing: delta-decode then de-interleave (the inverse of
-// the OpenEXR "predictor + interleave" pre-compression transform).
+// the OpenEXR "predictor + interleave" pre-compression transform).  RLE
+// blocks use the same transform.
 void exr_unfilter(std::vector<uint8_t>& data) {
   for (size_t i = 1; i < data.size(); ++i)
     data[i] = (uint8_t)(data[i] + data[i - 1] - 128);
@@ -100,6 +109,69 @@ void exr_unfilter(std::vector<uint8_t>& data) {
   for (size_t i = 0; i < data.size(); ++i)
     out[i] = (i % 2 == 0) ? *t1++ : *t2++;
   data.swap(out);
+}
+
+// EXR RLE: int8 n < 0 -> -n literal bytes; n >= 0 -> next byte n+1 times.
+bool rle_decode(const uint8_t* in, size_t n, size_t want,
+                std::vector<uint8_t>* out) {
+  out->clear();
+  out->reserve(want);
+  size_t i = 0;
+  while (i < n && out->size() < want) {
+    int8_t c = (int8_t)in[i++];
+    if (c < 0) {
+      size_t cnt = (size_t)(-(int)c);
+      if (i + cnt > n || out->size() + cnt > want) return false;
+      out->insert(out->end(), in + i, in + i + cnt);
+      i += cnt;
+    } else {
+      if (i >= n || out->size() + (size_t)c + 1 > want) return false;
+      out->insert(out->end(), (size_t)c + 1, in[i++]);
+    }
+  }
+  return out->size() == want;
+}
+
+// PXR24 block reconstruction: zlib output holds, per scanline, per channel,
+// byte PLANES (float -> top 3 bytes, half -> 2 bytes), each plane
+// horizontally delta-encoded.  Rebuild the standard raw scanline layout.
+bool pxr24_reconstruct(const std::vector<uint8_t>& planes, int w, int nlines,
+                       const std::vector<Channel>& channels,
+                       std::vector<uint8_t>* raw, size_t want) {
+  raw->assign(want, 0);
+  size_t sp = 0;
+  size_t dp = 0;
+  for (int line = 0; line < nlines; ++line) {
+    for (const Channel& ch : channels) {
+      int nplanes = ch.type == 2 ? 3 : 2;
+      if (sp + (size_t)nplanes * w > planes.size()) return false;
+      const uint8_t* p0 = planes.data() + sp;
+      const uint8_t* p1 = p0 + w;
+      const uint8_t* p2 = p1 + w;
+      uint8_t a0 = 0, a1 = 0, a2 = 0;
+      if (ch.type == 2) {  // FLOAT: bits = b0<<24 | b1<<16 | b2<<8
+        for (int x = 0; x < w; ++x) {
+          a0 = (uint8_t)(a0 + p0[x]);
+          a1 = (uint8_t)(a1 + p1[x]);
+          a2 = (uint8_t)(a2 + p2[x]);
+          uint32_t bits =
+              ((uint32_t)a0 << 24) | ((uint32_t)a1 << 16) | ((uint32_t)a2 << 8);
+          std::memcpy(raw->data() + dp + (size_t)x * 4, &bits, 4);
+        }
+        dp += (size_t)w * 4;
+      } else {  // HALF: bits = b0<<8 | b1
+        for (int x = 0; x < w; ++x) {
+          a0 = (uint8_t)(a0 + p0[x]);
+          a1 = (uint8_t)(a1 + p1[x]);
+          uint16_t bits = (uint16_t)(((uint16_t)a0 << 8) | a1);
+          std::memcpy(raw->data() + dp + (size_t)x * 2, &bits, 2);
+        }
+        dp += (size_t)w * 2;
+      }
+      sp += (size_t)nplanes * w;
+    }
+  }
+  return dp == want;
 }
 
 }  // namespace
@@ -157,16 +229,18 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
   const int w = dw[2] - dw[0] + 1;
   const int h = dw[3] - dw[1] + 1;
   if (w <= 0 || h <= 0 || (int64_t)w * h > (int64_t)1 << 30) return 3;
-  // compression: 0 NONE, 2 ZIPS (1 line), 3 ZIP (16 lines)
+  // compression: 0 NONE, 1 RLE, 2 ZIPS (1 line), 3 ZIP (16 lines),
+  // 4 PIZ (32 lines), 5 PXR24 (16 lines)
   int lines_per_block;
-  if (compression == 0)
+  if (compression == 0 || compression == 1 || compression == 2)
     lines_per_block = 1;
-  else if (compression == 2)
-    lines_per_block = 1;
-  else if (compression == 3)
+  else if (compression == 3 || compression == 5)
     lines_per_block = 16;
+  else if (compression == 4)
+    lines_per_block = 32;
   else
     return 4;
+  if (compression == 1) lines_per_block = 1;
 
   // Channels appear in the file sorted by name; find R,G,B (fall back to
   // Y for grayscale).
@@ -211,9 +285,35 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
     packed.resize(dsize);
     if (!r.read(packed.data(), dsize)) goto corrupt;
     if (compression == 0 || (size_t)dsize >= want) {
+      // All compressors fall back to storing raw bytes when compression
+      // would not shrink the block.
       raw.assign(packed.begin(), packed.begin() + std::min((size_t)dsize, want));
       if (raw.size() < want) goto corrupt;
-    } else {
+    } else if (compression == 1) {  // RLE
+      if (!rle_decode(packed.data(), (size_t)dsize, want, &raw)) goto corrupt;
+      exr_unfilter(raw);
+    } else if (compression == 4) {  // PIZ
+      std::vector<int> ch_shorts(channels.size());
+      for (size_t c = 0; c < channels.size(); ++c)
+        ch_shorts[c] = channels[c].type == 2 ? 2 : 1;
+      raw.resize(want);
+      if (!piz_uncompress(packed.data(), (size_t)dsize, w, nlines,
+                          ch_shorts.data(), (int)channels.size(), raw.data()))
+        goto corrupt;
+    } else if (compression == 5) {  // PXR24
+      size_t planes_size = 0;
+      for (const Channel& ch : channels)
+        planes_size += (size_t)(ch.type == 2 ? 3 : 2) * w;
+      planes_size *= (size_t)nlines;
+      std::vector<uint8_t> planes(planes_size);
+      uLongf dst_len = (uLongf)planes_size;
+      if (uncompress(planes.data(), &dst_len, packed.data(), (uLong)dsize) !=
+              Z_OK ||
+          dst_len != planes_size)
+        goto corrupt;
+      if (!pxr24_reconstruct(planes, w, nlines, channels, &raw, want))
+        goto corrupt;
+    } else {  // ZIPS / ZIP
       raw.resize(want);
       uLongf dst_len = (uLongf)want;
       if (uncompress(raw.data(), &dst_len, packed.data(), (uLong)dsize) != Z_OK ||
@@ -248,8 +348,11 @@ corrupt:
   return 5;
 }
 
-// Write [h*w*3] float32 RGB as an uncompressed HALF scanline EXR.
-int vt_write_exr(const char* path, const float* rgb, int w, int h) {
+// Write [h*w*3] float32 RGB as a HALF scanline EXR.
+// compression: 0 = NONE, 4 = PIZ.  Returns 0 ok, 1 open, 4 unsupported.
+int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
+                   int compression) {
+  if (compression != 0 && compression != 4) return 4;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   auto put = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
@@ -275,7 +378,7 @@ int vt_write_exr(const char* path, const float* rgb, int w, int h) {
   }
   chl.push_back(0);
   put_attr("channels", "chlist", chl.data(), (int32_t)chl.size());
-  uint8_t comp = 0;
+  uint8_t comp = (uint8_t)compression;
   put_attr("compression", "compression", &comp, 1);
   int32_t box[4] = {0, 0, w - 1, h - 1};
   put_attr("dataWindow", "box2i", box, 16);
@@ -292,26 +395,64 @@ int vt_write_exr(const char* path, const float* rgb, int w, int h) {
   put(&end, 1);
 
   const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
-  const uint64_t table_pos = (uint64_t)ftell(f);
-  const uint64_t data_start = table_pos + 8ull * h;
-  for (int y = 0; y < h; ++y) {
-    uint64_t off = data_start + (uint64_t)y * (8 + row_bytes);
-    put(&off, 8);
+  const int lines_per_block = compression == 4 ? 32 : 1;
+  const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
+
+  // Prepare per-block payloads first (offset table precedes the data).
+  std::vector<std::vector<uint8_t>> blocks(n_blocks);
+  std::vector<uint16_t> rows((size_t)lines_per_block * 3 * w);
+  for (int b = 0; b < n_blocks; ++b) {
+    const int y0 = b * lines_per_block;
+    const int nlines = std::min(lines_per_block, h - y0);
+    const size_t want = row_bytes * (size_t)nlines;
+    for (int line = 0; line < nlines; ++line) {
+      const int y = y0 + line;
+      uint16_t* row = rows.data() + (size_t)line * 3 * w;
+      // channels alphabetical: B, G, R
+      for (int x = 0; x < w; ++x)
+        row[x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 2]);
+      for (int x = 0; x < w; ++x)
+        row[w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 1]);
+      for (int x = 0; x < w; ++x)
+        row[2 * w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3]);
+    }
+    if (compression == 4) {
+      const int ch_shorts[3] = {1, 1, 1};
+      std::vector<uint8_t> out;
+      if (!piz_compress((const uint8_t*)rows.data(), w, nlines, ch_shorts, 3,
+                        &out) ||
+          out.size() >= want) {
+        // Fallback: store the raw bytes (readers treat dsize >= want as raw).
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      }
+      blocks[b].swap(out);
+    } else {
+      blocks[b].assign((const uint8_t*)rows.data(),
+                       (const uint8_t*)rows.data() + want);
+    }
   }
-  std::vector<uint16_t> row(3 * (size_t)w);
-  for (int y = 0; y < h; ++y) {
-    int32_t yy = y;
-    int32_t sz = (int32_t)row_bytes;
+
+  const uint64_t table_pos = (uint64_t)ftell(f);
+  uint64_t off = table_pos + 8ull * n_blocks;
+  for (int b = 0; b < n_blocks; ++b) {
+    put(&off, 8);
+    off += 8 + blocks[b].size();
+  }
+  for (int b = 0; b < n_blocks; ++b) {
+    int32_t yy = b * lines_per_block;
+    int32_t sz = (int32_t)blocks[b].size();
     put(&yy, 4);
     put(&sz, 4);
-    // channels alphabetical: B, G, R
-    for (int x = 0; x < w; ++x) row[x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 2]);
-    for (int x = 0; x < w; ++x) row[w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3 + 1]);
-    for (int x = 0; x < w; ++x) row[2 * w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3]);
-    put(row.data(), row_bytes);
+    put(blocks[b].data(), blocks[b].size());
   }
   std::fclose(f);
   return 0;
+}
+
+// Back-compatible uncompressed writer.
+int vt_write_exr(const char* path, const float* rgb, int w, int h) {
+  return vt_write_exr_c(path, rgb, w, h, 0);
 }
 
 }  // extern "C"
