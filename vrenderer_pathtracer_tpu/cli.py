@@ -91,11 +91,9 @@ def cmd_render(args) -> int:
         return _render_body(args)
 
 
-def _render_body(args) -> int:
-    import numpy as np
-
+def _build_renderer(args):
+    """Renderer configured from the shared scene/camera/material flags."""
     from vrenderer_pathtracer_tpu import Renderer, RenderSettings
-    from vrenderer_pathtracer_tpu.render.progressive import ProgressiveScheduler
 
     settings = RenderSettings(
         samples_per_pass=args.samples_per_pass,
@@ -147,7 +145,15 @@ def _render_body(args) -> int:
         cam_kw["fov_deg"] = args.fov
     if cam_kw:
         r.update_camera(**cam_kw)
+    return r
 
+
+def _render_body(args) -> int:
+    import numpy as np
+
+    from vrenderer_pathtracer_tpu.render.progressive import ProgressiveScheduler
+
+    r = _build_renderer(args)
     t0 = time.perf_counter()
 
     def on_pass(i, spp):
@@ -191,6 +197,28 @@ def _render_body(args) -> int:
     return 0
 
 
+def cmd_view(args) -> int:
+    """Live progressive viewer (the reference's interactive window role)."""
+    import contextlib
+
+    import jax
+
+    ctx = (
+        jax.default_device(jax.devices("cpu")[0])
+        if args.cpu
+        else contextlib.nullcontext()
+    )
+    with ctx:
+        from vrenderer_pathtracer_tpu.view import TerminalViewer
+
+        r = _build_renderer(args)
+        viewer = TerminalViewer(r, max_cols=args.cols or 0,
+                                max_rows=args.rows or 0)
+        viewer.run(max_passes=args.passes or None,
+                   interactive=None if not args.headless else False)
+    return 0
+
+
 def cmd_bench(args) -> int:
     del args
     import pathlib
@@ -212,6 +240,17 @@ def main(argv=None) -> int:
     pr = sub.add_parser("render", help="render a scene to PNG/EXR")
     _add_render_args(pr)
     pr.set_defaults(fn=cmd_render)
+    pv = sub.add_parser(
+        "view", help="live terminal viewer (arrows orbit, w/s dolly, "
+        "enter toggles depth, q quits)")
+    _add_render_args(pv)
+    pv.add_argument("--cols", type=int, default=0, help="max display columns")
+    pv.add_argument("--rows", type=int, default=0, help="max display rows")
+    pv.add_argument("--passes", type=int, default=0,
+                    help="stop after N passes (0 = until quit)")
+    pv.add_argument("--headless", action="store_true",
+                    help="no key input (for scripts/tests)")
+    pv.set_defaults(fn=cmd_view)
     pb = sub.add_parser("bench", help="run the headline benchmark (one JSON line)")
     pb.set_defaults(fn=cmd_bench)
     args = parser.parse_args(argv)
