@@ -37,17 +37,21 @@ COLS = 128
 BLOCK = ROWS * COLS
 
 
-def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
+def _kernel(count_ref, perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
             ox, oy, oz, dx, dy, dz, tmax_ref,
             slot_out, t_out, stack, *, page_tris):
-    # Pages stream in near-to-far order: perm_ref holds the distance-sorted
-    # permutation; early pages set best_t so later page bboxes prune.
-    page = perm_ref[pl.program_id(1)]
+    # Per-BLOCK page schedule (round-2): perm_ref[i] lists this ray block's
+    # conservatively-reachable pages near-to-far (see _page_schedule);
+    # positions past count_ref[i] repeat the last relevant page, so Pallas
+    # skips their DMA (unchanged block index) and the body is gated off.
+    blk = pl.program_id(0)
+    step = pl.program_id(1)
+    page = perm_ref[blk, step]
 
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
 
-    @pl.when(pl.program_id(1) == 0)  # first page STEP for this ray block
+    @pl.when(step == 0)  # first page STEP for this ray block
     def _():
         slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
         # Clamp search bounds to the global mesh-box exit (see
@@ -70,7 +74,7 @@ def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
     page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
                            bbox[page, 3], bbox[page, 4], bbox[page, 5])
 
-    @pl.when(page_hit)
+    @pl.when(page_hit & (step < count_ref[blk]))
     def _():
         packet_traverse(
             o, d, t_out, slot_out, stack,
@@ -89,6 +93,82 @@ def _kernel(perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
     def _():
         # Report the caller's t_max on miss lanes (contract of traverse()).
         t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
+
+
+def _page_schedule(paged, ray_o, ray_d, t_max, nb):
+    """Per-block page lists: conservative interval-frustum culling.
+
+    Round-1 streamed EVERY page to EVERY ray block (only a per-lane bbox
+    test pruned after the DMA already happened) — the single largest perf
+    deficit vs the reference.  Here each block gets a near-to-far list of
+    the pages it can possibly reach, computed with interval arithmetic:
+    for origins in the block's origin box, directions in its direction
+    box and t in [0, max t_max], axis k constrains t to
+    ``{t : t*d_lo_k <= B_k  and  t*d_hi_k >= A_k}`` with
+    ``[A_k, B_k]`` the page slab widened by the origin box; a page is
+    reachable iff the three t-intervals and [0, T] intersect.  This is
+    exact for a point origin + direction box (captures the shared-t
+    correlation a reach-box test loses) and conservative otherwise.
+
+    Returns ``(count [nb] int32, perm [nb, Pg] int32)`` where positions
+    past ``count`` repeat the last reachable page id (so the Pallas
+    pipeline sees an unchanged block index and skips the copy).
+    """
+    big = jnp.float32(3e38)
+    o = ray_o.reshape(nb, BLOCK, 3)
+    d = ray_d.reshape(nb, BLOCK, 3)
+    o_lo = o.min(axis=1)[:, None, :]   # [nb,1,3]
+    o_hi = o.max(axis=1)[:, None, :]
+    d_lo = d.min(axis=1)[:, None, :]
+    d_hi = d.max(axis=1)[:, None, :]
+    t_cap = t_max.reshape(nb, BLOCK).max(axis=1)          # [nb]
+
+    p_lo = paged.bbox[None, :, 0:3]    # [1,Pg,3]
+    p_hi = paged.bbox[None, :, 3:6]
+    a = p_lo - o_hi                    # [nb,Pg,3]
+    b_ = p_hi - o_lo
+    # Small conservative margin against fp disagreement with the kernel's
+    # exact per-lane slab test.
+    eps = 1e-4 * (1.0 + jnp.maximum(jnp.abs(a), jnp.abs(b_)))
+    a = a - eps
+    b_ = b_ + eps
+
+    def t_interval(dl, dh, av, bv):
+        # {t >= 0 : t*dl <= bv} = [0, bv/dl] if dl>0; [0,inf) if dl<=0<=bv;
+        # [bv/dl, inf) if dl<0 and bv<0 (division flips); empty if dl==0>bv.
+        hi1 = jnp.where(dl > 0, bv / jnp.where(dl > 0, dl, 1.0), big)
+        lo1 = jnp.where((dl < 0) & (bv < 0),
+                        bv / jnp.where(dl < 0, dl, -1.0), 0.0)
+        empty1 = (dl == 0) & (bv < 0)
+        # {t >= 0 : t*dh >= av} = [av/dh, inf) if dh>0; [0,inf) if av<=0;
+        # [0, av/dh] if dh<0 and av<0; empty if dh<=0<av.
+        lo2 = jnp.where((dh > 0) & (av > 0),
+                        av / jnp.where(dh > 0, dh, 1.0), 0.0)
+        hi2 = jnp.where((dh < 0) & (av < 0),
+                        av / jnp.where(dh < 0, dh, -1.0), big)
+        empty2 = (dh <= 0) & (av > 0)
+        lo = jnp.maximum(lo1, lo2)
+        hi = jnp.minimum(hi1, hi2)
+        hi = jnp.where(empty1 | empty2, -big, hi)
+        return lo, hi
+
+    lo = jnp.zeros(a.shape[:2], jnp.float32)
+    hi = jnp.broadcast_to(t_cap[:, None], a.shape[:2])
+    for k in range(3):
+        lk, hk = t_interval(d_lo[..., k], d_hi[..., k], a[..., k], b_[..., k])
+        lo = jnp.maximum(lo, lk)
+        hi = jnp.minimum(hi, hk)
+    reachable = lo <= hi                                   # [nb,Pg]
+
+    count = reachable.sum(axis=1).astype(jnp.int32)        # [nb]
+    key = jnp.where(reachable, lo, big)                    # near-to-far
+    perm = jnp.argsort(key, axis=1).astype(jnp.int32)      # [nb,Pg]
+    # Repeat the last reachable page into the tail (count==0 keeps col 0).
+    last = jnp.take_along_axis(
+        perm, jnp.maximum(count - 1, 0)[:, None], axis=1)  # [nb,1]
+    pos = jnp.arange(perm.shape[1], dtype=jnp.int32)[None, :]
+    perm = jnp.where(pos < jnp.maximum(count, 1)[:, None], perm, last)
+    return count, perm
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -110,25 +190,19 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
     def comp(x):
         return x.reshape(nb * ROWS, COLS)
 
-    # Near-to-far page schedule: sort pages by bbox-center distance to the
-    # mean ray origin (a [Pg]-sized argsort, trivial next to traversal).
-    centers = 0.5 * (paged.bbox[:, 0:3] + paged.bbox[:, 3:6])
-    mean_o = jnp.mean(ray_o, axis=0)
-    page_perm = jnp.argsort(
-        jnp.sum((centers - mean_o[None, :]) ** 2, axis=-1)
-    ).astype(jnp.int32)
+    count, perm = _page_schedule(paged, ray_o, ray_d, t_max, nb)
 
     # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
-        (ROWS, COLS), lambda i, p, perm: (i, 0), memory_space=pltpu.VMEM
+        (ROWS, COLS), lambda i, p, cnt, perm: (i, 0), memory_space=pltpu.VMEM
     )
     page3 = lambda shape: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda i, p, perm: (perm[p],) + (0,) * len(shape),
+        (1,) + shape, lambda i, p, cnt, perm: (perm[i, p],) + (0,) * len(shape),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(nb, n_pages),
         in_specs=[
             page3((npp, 12)),
@@ -158,7 +232,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         ),
         interpret=interpret,
     )(
-        page_perm,
+        count, perm,
         paged.nodes_f, paged.nodes_i, paged.bbox,
         mesh.tri_v0.reshape(n_pages, page_tris, 3),
         mesh.tri_e1.reshape(n_pages, page_tris, 3),

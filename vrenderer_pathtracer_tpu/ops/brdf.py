@@ -22,12 +22,16 @@ gradients the reference cannot express.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 RES_THETA_H = 90
 RES_THETA_D = 90
 RES_PHI_D = 180  # retained *half* of the 360 phi_d bins (reciprocity)
 
-CHANNEL_SCALE = jnp.array([1.0 / 1500.0, 1.15 / 1500.0, 1.66 / 1500.0], jnp.float32)
+# numpy (not jnp) on purpose: a module-level jnp.array would initialise the
+# XLA backend at import time, which breaks jax.distributed.initialize in
+# multi-process workers (it must run before any backend-touching call).
+CHANNEL_SCALE = np.array([1.0 / 1500.0, 1.15 / 1500.0, 1.66 / 1500.0], np.float32)
 
 TABLE_SIZE = RES_THETA_H * RES_THETA_D * RES_PHI_D
 

@@ -28,8 +28,14 @@ import numpy as np
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
-    """Multi-host bootstrap; no-op when single-process (tests, 1 chip)."""
-    if num_processes in (None, 1) and jax.process_count() == 1 and coordinator_address is None:
+    """Multi-host bootstrap; no-op when single-process (tests, 1 chip).
+
+    The guard must not touch jax state: ``jax.process_count()`` would
+    initialise the XLA backend, after which ``jax.distributed.initialize``
+    raises.  With a coordinator address we always bootstrap, even for
+    num_processes=1 (so 1-vs-N process parity tests run the same path).
+    """
+    if coordinator_address is None and num_processes in (None, 1):
         return
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
