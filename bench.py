@@ -205,15 +205,20 @@ def _mesh_bench() -> dict:
         p = os.path.join(tempfile.mkdtemp(), "bench_sphere.obj")
         write_uv_sphere(p, radius=12.0, n_theta=120, n_phi=120)
         mesh = pack_mesh(load_obj(p))
-        cam = Camera.default()._replace(
-            origin=jnp.asarray([0.0, 0.0, 28.0], jnp.float32))
-        o, d = generate_rays(cam, 1024, 512)
-        b = o.shape[0]
+        # Vary inputs across iterations (sub-pixel camera jitter): repeating
+        # a call with IDENTICAL arrays reports impossibly fast times over
+        # the tunnel (see CLAUDE.md) — we measured a false 2900 Mrays/s once.
+        rays = []
+        for i in range(6):
+            cam = Camera.default()._replace(
+                origin=jnp.asarray([1e-4 * i, 0.0, 28.0], jnp.float32))
+            rays.append(generate_rays(cam, 1024, 512))
+        b = rays[0][0].shape[0]
         tmax = jnp.full((b,), 1e6, jnp.float32)
-        slot, t = traverse_packets(mesh, o, d, tmax)
+        slot, t = traverse_packets(mesh, rays[5][0], rays[5][1], tmax)
         jax.block_until_ready((slot, t))
         t0 = time.perf_counter()
-        for _ in range(5):
+        for o, d in rays[:5]:
             r = traverse_packets(mesh, o, d, tmax)
         jax.block_until_ready(r)
         dt = (time.perf_counter() - t0) / 5

@@ -72,7 +72,7 @@ def _reference(scene, target, fc, fp, frame):
     return jax.value_and_grad(loss_fn)(p0)
 
 
-def _zero_flip_frame(scene, max_frames=24):
+def _zero_flip_frame(scene, max_frames=24, settings=SETTINGS):
     """First frame whose XLA and Pallas forwards agree on every pixel.
 
     Even on the benign scene a bounce ray can land within fp noise of a
@@ -81,15 +81,15 @@ def _zero_flip_frame(scene, max_frames=24):
     sample set.  Flips depend only on the RNG draws (not on fresnel
     params), so one frame serves all configs below."""
     cam = Camera.default()
-    ray_o, ray_d = generate_rays(cam, SETTINGS.width, SETTINGS.height)
-    ids = pixel_ids(SETTINGS.width, SETTINGS.height)
+    ray_o, ray_d = generate_rays(cam, settings.width, settings.height)
+    ids = pixel_ids(settings.width, settings.height)
     for frame in range(1, max_frames + 1):
         f = jnp.uint32(frame)
         rgb_x, _ = render_pass(
-            scene, SETTINGS, ray_o, ray_d, ids, f,
+            scene, settings, ray_o, ray_d, ids, f,
             jnp.float32(0.1), jnp.float32(3.0))
         rgb_p, _ = render_pass_pallas(
-            scene, SETTINGS, cam, f, jnp.float32(0.1), jnp.float32(3.0),
+            scene, settings, cam, f, jnp.float32(0.1), jnp.float32(3.0),
             interpret=True)
         if not np.any(np.abs(np.asarray(rgb_x - rgb_p)) > 1e-5):
             return f
@@ -122,6 +122,50 @@ def test_grads_match_jax_value_and_grad():
             float(dfc), float(ref_g.fresnel_coef), rtol=1e-2, atol=1e-6)
         np.testing.assert_allclose(
             float(dfp), float(ref_g.fresnel_pow), rtol=1e-2, atol=1e-6)
+
+
+def test_camera_grads_match_jax_value_and_grad():
+    """The in-kernel geometric adjoint (origin/yaw/pitch/fov) vs
+    jax.value_and_grad of the XLA loss w.r.t. the Camera pytree."""
+    # Interpret-mode execution of the geometric adjoint is expensive; a
+    # single 1024-pixel block with 3 bounces exercises every term.
+    small = RenderSettings(width=32, height=32, samples_per_pass=2, bounces=3,
+                           use_cornell_box=True, has_hdr=False)
+    scene = _benign_scene()
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(
+        rng.uniform(0, 0.5, (small.n_pixels, 3)).astype(np.float32))
+    frame = _zero_flip_frame(scene, settings=small)
+    cam = Camera.default()
+    ids = pixel_ids(small.width, small.height)
+    inv_n = 1.0 / (small.n_pixels * 3)
+    fc, fp = jnp.float32(0.1), jnp.float32(3.0)
+
+    def loss_fn(c):
+        ray_o, ray_d = generate_rays(c, small.width, small.height)
+        rgb, _ = render_pass(scene, small, ray_o, ray_d, ids, frame, fc, fp)
+        return jnp.sum((rgb - target) ** 2) * inv_n
+
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(cam)
+
+    out = cornell_loss_grads(scene, small, cam, target, frame, fc, fp,
+                             interpret=True, with_camera=True)
+    loss, dcol, dem, dfc, dfp, dcam = out
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dcam.origin), np.asarray(ref_g.origin),
+        rtol=2e-2, atol=2e-6)
+    np.testing.assert_allclose(
+        float(dcam.yaw), float(ref_g.yaw), rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(
+        float(dcam.pitch), float(ref_g.pitch), rtol=2e-2, atol=1e-5)
+    np.testing.assert_allclose(
+        float(dcam.fov_deg), float(ref_g.fov_deg), rtol=2e-2, atol=1e-6)
+    # The material/fresnel grads must be unchanged by the camera extension.
+    base = cornell_loss_grads(scene, small, cam, target, frame, fc, fp,
+                              interpret=True)
+    for a, b in zip((dcol, dem, dfc, dfp), base[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_sgd_with_pallas_grads_descends():

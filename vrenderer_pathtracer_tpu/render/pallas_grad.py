@@ -55,12 +55,167 @@ from vrenderer_pathtracer_tpu.scene.scene import Scene
 from vrenderer_pathtracer_tpu.scene.spheres import SPEC
 
 # Output row layout: [0] loss partial, [1 + i*6 + c] = dcol_i[c] (c<3) /
-# dem_i[c-3] (c>=3), [1 + n*6] = dfresnel_coef, [2 + n*6] = dfresnel_pow.
+# dem_i[c-3] (c>=3), [1 + n*6] = dfresnel_coef, [2 + n*6] = dfresnel_pow,
+# and with with_camera: [3 + n*6 .. 14 + n*6] = d(origin), d(view_dir),
+# d(cx), d(cy) — 12 camera-vector cotangents pulled back to
+# origin/yaw/pitch/fov on the host through Camera.basis (jax.vjp).
 OUT_WIDTH = 128
 
 
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def _axpy3(alpha, x, y):
+    """y + alpha * x on tile-vector triples (alpha a tile or scalar)."""
+    return tuple(y[k] + alpha * x[k] for k in range(3))
+
+
+def _camera_bounce_adjoint(d_, spheres, n_spheres, live, cm, dp,
+                           fresnel_coef, fresnel_pow, do_next, dd_next, zero):
+    """Reverse one bounce's geometry: cotangents of the ray ENTERING it.
+
+    Hand-derived vjp of the bounce geometry chain — sphere-intersection t,
+    hit point, normal, reflect / cosine-hemisphere scatter, and the Fresnel
+    probability via the angle of incidence — under the SAME detached-event
+    convention as the XLA integrator (ops/shading.py): hit selection, the
+    branch choice and the RNG draws are constants of the backward pass,
+    while every continuous quantity carries gradients (including the
+    score-function ``dp`` path through ``aoi``).  ``(do_next, dd_next)``
+    are dL/d(o', d') of the ray LEAVING the bounce; returns dL/d(o, d) of
+    the ray entering it.  All contributions are live-masked through the
+    cotangent inputs, so dead lanes contribute exactly zero.
+    """
+    o = d_["o"]
+    dv = d_["d"]
+    n = d_["n"]
+    t = d_["t"]
+    dead = 1.0 - live
+
+    # Winner-sphere scalars, re-selected from the saved (detached) index.
+    cw = [zero, zero, zero]
+    rad = zero
+    for i in range(n_spheres):
+        seli = jnp.where(d_["idx"] == float(i), 1.0, 0.0)
+        for k in range(3):
+            cw[k] = cw[k] + seli * spheres[i, k]
+        rad = rad + seli * spheres[i, 3]
+
+    # o' = where(live, h + OFFSET*n, o);  d' = where(live, nd, d).
+    do_b = tuple(dead * c for c in do_next)
+    dd_b = tuple(dead * c for c in dd_next)
+    dh = tuple(live * c for c in do_next)
+    dn = tuple(ORIGIN_OFFSET * live * c for c in do_next)
+    dnd = tuple(live * c for c in dd_next)
+
+    mtr = jnp.where(d_["take_reflect"], 1.0, 0.0)
+    mspec = jnp.where(d_["is_spec"], 1.0, 0.0)
+    mrefl = mtr * (1.0 - mspec)
+    mdiff = (1.0 - mtr) * (1.0 - mspec)
+
+    # Recompute the reflect vector and cosine frame from the saved state
+    # (bit-identical ops to the forward replay above).
+    ddn = _dot3(dv, n)
+    rf = tuple(dv[k] - 2.0 * ddn * n[k] for k in range(3))
+    rlen = lax.rsqrt(jnp.maximum(_dot3(rf, rf), 1e-40))
+    frd = tuple(rf[k] * rlen for k in range(3))
+
+    flip = jnp.abs(n[0]) > 0.1
+    ax = jnp.where(flip, 0.0, 1.0)
+    ay = jnp.where(flip, 1.0, 0.0)
+    un = (ay * n[2], -ax * n[2], ax * n[1] - ay * n[0])  # cross(axis, n)
+    ul = lax.rsqrt(jnp.maximum(_dot3(un, un), 1e-40))
+    u_ = tuple(un[k] * ul for k in range(3))
+    v_ = (n[1] * u_[2] - n[2] * u_[1],
+          n[2] * u_[0] - n[0] * u_[2],
+          n[0] * u_[1] - n[1] * u_[0])                   # cross(n, u_)
+    cp, spn, wz = d_["cp"], d_["spn"], d_["wz"]
+    cdr = tuple(u_[k] * cp + v_[k] * spn + n[k] * wz for k in range(3))
+    cl = lax.rsqrt(jnp.maximum(_dot3(cdr, cdr), 1e-40))
+    cd = tuple(cdr[k] * cl for k in range(3))
+
+    # --- new-direction branches: nd = spec? rf : reflect? rf*rlen : cd ----
+    drf = tuple(mspec * c for c in dnd)
+    pr = _dot3(frd, dnd)
+    drf = tuple(drf[k] + mrefl * rlen * (dnd[k] - frd[k] * pr)
+                for k in range(3))
+    dcd = tuple(mdiff * c for c in dnd)
+
+    # cos2 = 2*dot(cd, n) scales the diffuse multiplier col*cos2.
+    dcos2 = (cm[0] * d_["col"][0] + cm[1] * d_["col"][1]
+             + cm[2] * d_["col"][2]) * mdiff
+    dcd = tuple(dcd[k] + 2.0 * dcos2 * n[k] for k in range(3))
+    dn = tuple(dn[k] + 2.0 * dcos2 * cd[k] for k in range(3))
+
+    # reverse cd = cdr * cl (normalize), then the frame construction.
+    pr2 = _dot3(cd, dcd)
+    dcdr = tuple(cl * (dcd[k] - cd[k] * pr2) for k in range(3))
+    du = tuple(cp * c for c in dcdr)
+    dvv = tuple(spn * c for c in dcdr)
+    dn = tuple(dn[k] + wz * dcdr[k] for k in range(3))
+    # v_ = cross(n, u_):  dn += u_ x dv_ ;  du_ += dv_ x n
+    dn = (dn[0] + u_[1] * dvv[2] - u_[2] * dvv[1],
+          dn[1] + u_[2] * dvv[0] - u_[0] * dvv[2],
+          dn[2] + u_[0] * dvv[1] - u_[1] * dvv[0])
+    du = (du[0] + dvv[1] * n[2] - dvv[2] * n[1],
+          du[1] + dvv[2] * n[0] - dvv[0] * n[2],
+          du[2] + dvv[0] * n[1] - dvv[1] * n[0])
+    # u_ = un * ul (normalize), un = cross(axis, n): dn += dun x axis.
+    pr3 = _dot3(u_, du)
+    dun = tuple(ul * (du[k] - u_[k] * pr3) for k in range(3))
+    dn = (dn[0] - dun[2] * ay,
+          dn[1] + dun[2] * ax,
+          dn[2] + dun[0] * ay - dun[1] * ax)
+
+    # reverse rf = d - 2*(d.n)*n.
+    nd_drf = _dot3(n, drf)
+    dd_b = tuple(dd_b[k] + drf[k] - 2.0 * n[k] * nd_drf for k in range(3))
+    dn = tuple(dn[k] - 2.0 * (nd_drf * dv[k] + ddn * drf[k])
+               for k in range(3))
+
+    # Fresnel probability via aoi = -(d.n): score-function dp chains into
+    # geometry with d(fresnel)/d(aoi) = -(1-fc)*spec0*fp*(1-aoi)^(fp-1).
+    one_m_aoi = d_["one_m_aoi"]
+    dgraz = jnp.where(
+        one_m_aoi > 0.0,
+        -fresnel_pow * d_["grazing"] / jnp.maximum(one_m_aoi, 1e-30), 0.0)
+    daoi = dp * (1.0 - fresnel_coef) * d_["spec0"] * dgraz
+    dd_b = tuple(dd_b[k] - n[k] * daoi for k in range(3))
+    dn = tuple(dn[k] - dv[k] * daoi for k in range(3))
+
+    # reverse n = hv * inl, hv = o + d*t - c_winner (normalize).
+    hv = tuple(o[k] + dv[k] * t - cw[k] for k in range(3))
+    inl = lax.rsqrt(jnp.maximum(_dot3(hv, hv), 1e-40))
+    nh = tuple(hv[k] * inl for k in range(3))
+    pr4 = _dot3(nh, dn)
+    dhv = tuple(inl * (dn[k] - nh[k] * pr4) for k in range(3))
+    do_b = _axpy3(1.0, dhv, do_b)
+    dd_b = tuple(dd_b[k] + t * dhv[k] for k in range(3))
+    dt = _dot3(dv, dhv)
+    # reverse h = o + d*t (from the origin-offset chain).
+    do_b = _axpy3(1.0, dh, do_b)
+    dd_b = tuple(dd_b[k] + t * dh[k] for k in range(3))
+    dt = dt + _dot3(dv, dh)
+
+    # reverse t through the sphere quadratic: t = bq + sigma*sq,
+    # bq = op.d, det = bq^2 - |op|^2 + r^2, op = c - o.
+    op = tuple(cw[k] - o[k] for k in range(3))
+    bq = _dot3(op, dv)
+    det = bq * bq - _dot3(op, op) + rad * rad
+    sq = jnp.sqrt(jnp.maximum(det, 0.0))
+    sigma = jnp.where(bq - sq > SPHERE_EPS, -1.0, 1.0)
+    sqc = jnp.maximum(sq, 1e-6)
+    dbq = dt * (1.0 + sigma * bq / sqc)
+    kk = sigma * dt / sqc
+    dd_b = tuple(dd_b[k] + dbq * op[k] for k in range(3))
+    dop = tuple(dbq * dv[k] - kk * op[k] for k in range(3))
+    do_b = tuple(do_b[k] - dop[k] for k in range(3))
+    return do_b, dd_b
+
+
 def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
-                 *, settings: RenderSettings, n_spheres: int, seed: int):
+                 *, settings: RenderSettings, n_spheres: int, seed: int,
+                 with_camera: bool = False):
     w = settings.width
     spp = settings.samples_per_pass
     bounces = settings.bounces
@@ -226,13 +381,24 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
             def _z(x, safe=0.0):
                 return jnp.where(live, x, safe)
 
-            saved.append(dict(
+            rec = dict(
                 live=live_f, m=list(m), em=em, col=col, spec0=_z(spec0),
                 idx=idx_f, cos2=_z(cos2), take_reflect=take_reflect,
                 is_spec=is_spec, p=_z(p, 0.5), grazing=_z(grazing),
                 one_m_aoi=_z(one_m_aoi, 1.0),
                 mult=[_z(mm) for mm in mult], fresnel=_z(fresnel, 0.5),
-            ))
+            )
+            if with_camera:
+                # Geometric adjoint state: the ray ENTERING this bounce, the
+                # winning hit distance and the (sanitized) surface normal.
+                # Everything else the reverse sweep recomputes from these +
+                # the sphere scalars + an RNG replay.
+                rec.update(
+                    o=(ox, oy, oz), d=(dx, dy, dz), t=_z(best_t, 1.0),
+                    n=(_z(n_x), _z(n_y), _z(n_z, 1.0)),
+                    cp=_z(cp), spn=_z(spn), wz=_z(wz, 1.0),
+                )
+            saved.append(rec)
 
             ox = jnp.where(live, hx + ORIGIN_OFFSET * n_x, ox)
             oy = jnp.where(live, hy + ORIGIN_OFFSET * n_y, oy)
@@ -261,12 +427,17 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
     dem = [[zero, zero, zero] for _ in range(n_spheres)]
     dfc = zero
     dfp = zero
+    # Camera chain: cotangents of the primary ray, accumulated over samples.
+    dorg_acc = (zero, zero, zero)
+    dd0_acc = (zero, zero, zero)
 
     for s in range(spp):
         sv = samples[s]["saved"]
         nk = samples[s]["not_killed"]
         gk = [gc * nk for gc in g]
         r_next = [zero, zero, zero]
+        do_next = (zero, zero, zero)
+        dd_next = (zero, zero, zero)
         for b in range(bounces - 1, -1, -1):
             d_ = sv[b]
             live = d_["live"]
@@ -300,12 +471,20 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
             dfp = dfp + dp * (1.0 - fresnel_coef) * d_["spec0"] * \
                 d_["grazing"] * dlog
 
+            if with_camera:
+                do_next, dd_next = _camera_bounce_adjoint(
+                    d_, spheres, n_spheres, live, cm, dp, fresnel_coef,
+                    fresnel_pow, do_next, dd_next, zero)
+
             r_b = [
                 live * (gk[ch] * d_["em"][ch] + d_["mult"][ch] * r_next[ch])
                 + (1.0 - live) * r_next[ch]
                 for ch in range(3)
             ]
             r_next = r_b
+        if with_camera:
+            dorg_acc = _axpy3(1.0, do_next, dorg_acc)
+            dd0_acc = _axpy3(1.0, dd_next, dd0_acc)
 
     # ---- per-block scalar partials ---------------------------------------
     # Compiled Mosaic can't block SMEM rows of width 128, so the partials
@@ -325,21 +504,43 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
             tile_out = place(tile_out, 1 + i * 6 + 3 + ch, jnp.sum(dem[i][ch]))
     tile_out = place(tile_out, 1 + n_spheres * 6, jnp.sum(dfc))
     tile_out = place(tile_out, 2 + n_spheres * 6, jnp.sum(dfp))
+
+    if with_camera:
+        # Pull the primary-direction cotangent back through the
+        # normalization d0 = draw * inv_len, then project onto the camera
+        # vector components: draw = view + u*cx + v*cy, o0 = origin.
+        d0 = (d0x, d0y, d0z)
+        proj = _dot3(d0, dd0_acc)
+        ddraw = tuple(inv_len * (dd0_acc[k] - d0[k] * proj) for k in range(3))
+        base2 = 3 + n_spheres * 6
+        for k in range(3):
+            tile_out = place(tile_out, base2 + k, jnp.sum(dorg_acc[k]))
+            tile_out = place(tile_out, base2 + 3 + k, jnp.sum(ddraw[k]))
+            tile_out = place(tile_out, base2 + 6 + k, jnp.sum(u * ddraw[k]))
+            tile_out = place(tile_out, base2 + 9 + k, jnp.sum(v * ddraw[k]))
+
     out[:] = tile_out
 
 
-@functools.partial(jax.jit, static_argnames=("settings", "seed", "interpret"))
+@functools.partial(jax.jit, static_argnames=("settings", "seed", "interpret",
+                                             "with_camera"))
 def cornell_loss_grads(scene: Scene, settings: RenderSettings, camera, target,
                        frame, fresnel_coef, fresnel_pow, seed: int = 0,
-                       interpret: bool = False):
+                       interpret: bool = False, with_camera: bool = False):
     """L2 train loss + gradients, entirely in Pallas.
 
     ``target`` — [N,3] image.  Returns ``(loss, dcolor [N_s,3],
     demission [N_s,3], dfresnel_coef, dfresnel_pow)`` matching
     ``jax.value_and_grad`` of the XLA train loss (parallel/sharding.py).
+    With ``with_camera=True`` a sixth element is appended: a ``Camera``
+    cotangent (gradients w.r.t. origin/yaw/pitch/fov), produced by the
+    in-kernel geometric adjoint pulled back through ``Camera.basis``.
     """
     s = scene.spheres
     n_spheres = s.count
+    if with_camera and 15 + n_spheres * 6 > OUT_WIDTH:
+        raise ValueError(f"camera grads need {15 + n_spheres * 6} output "
+                         f"slots > {OUT_WIDTH} (too many spheres)")
     sph = jnp.concatenate([
         s.pos, s.radius[:, None], s.color, s.emission,
         s.spec_color[:, 0:1], s.refl[:, None].astype(jnp.float32),
@@ -372,7 +573,8 @@ def cornell_loss_grads(scene: Scene, settings: RenderSettings, camera, target,
 
     partials = pl.pallas_call(
         functools.partial(_grad_kernel, settings=settings,
-                          n_spheres=n_spheres, seed=seed),
+                          n_spheres=n_spheres, seed=seed,
+                          with_camera=with_camera),
         grid=(nb,),
         in_specs=[small, small, small, tile, tile, tile],
         out_specs=pl.BlockSpec((ROWS, COLS), lambda i: (i, 0),
@@ -392,4 +594,18 @@ def cornell_loss_grads(scene: Scene, settings: RenderSettings, camera, target,
     dem = jnp.stack([total[base + 3 + ch] for ch in range(3)], axis=-1)
     dfc = total[1 + n_spheres * 6]
     dfp = total[2 + n_spheres * 6]
-    return loss, dcol, dem, dfc, dfp
+    if not with_camera:
+        return loss, dcol, dem, dfc, dfp
+
+    # Pull the 12 camera-vector cotangents (origin, view, cx, cy) back to
+    # the Camera parameters (origin/yaw/pitch/fov) through basis().
+    base2 = 3 + n_spheres * 6
+    dvec = lax.dynamic_slice_in_dim(total, base2, 12)
+
+    def cam_vec(c):
+        o, view_dir, up, right, fs = c.basis()
+        return jnp.concatenate([o, view_dir, (fs * aspect) * right, fs * up])
+
+    _, pullback = jax.vjp(cam_vec, camera)
+    (dcamera,) = pullback(dvec)
+    return loss, dcol, dem, dfc, dfp, dcamera
