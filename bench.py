@@ -208,20 +208,26 @@ def _mesh_bench() -> dict:
         # Vary inputs across iterations (sub-pixel camera jitter): repeating
         # a call with IDENTICAL arrays reports impossibly fast times over
         # the tunnel (see CLAUDE.md) — we measured a false 2900 Mrays/s once.
+        # 20 timing iterations: short pipelined bursts right after warmup
+        # have reported relay-artifact times (a false 7526 Mrays/s at 5
+        # iterations vs the honest ~80 at 20, cross-checked against an
+        # in-jit device-side loop — see BASELINE.md).
+        n_it = 20
         rays = []
-        for i in range(6):
+        for i in range(n_it + 1):
             cam = Camera.default()._replace(
                 origin=jnp.asarray([1e-4 * i, 0.0, 28.0], jnp.float32))
             rays.append(generate_rays(cam, 1024, 512))
         b = rays[0][0].shape[0]
         tmax = jnp.full((b,), 1e6, jnp.float32)
-        slot, t = traverse_packets(mesh, rays[5][0], rays[5][1], tmax)
+        slot, t = traverse_packets(mesh, rays[n_it][0], rays[n_it][1], tmax,
+                                   image_shape=(512, 1024))
         jax.block_until_ready((slot, t))
         t0 = time.perf_counter()
-        for o, d in rays[:5]:
-            r = traverse_packets(mesh, o, d, tmax)
-        jax.block_until_ready(r)
-        dt = (time.perf_counter() - t0) / 5
+        outs = [traverse_packets(mesh, o, d, tmax, image_shape=(512, 1024))
+                for o, d in rays[:n_it]]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n_it
         return {
             "mesh_traversal_mrays_per_s": round(b / dt / 1e6, 1),
             "mesh_tris": int(np.asarray(mesh.tri_count)),

@@ -55,6 +55,77 @@ def test_packets_padding():
     np.testing.assert_array_equal(np.asarray(slot_a), np.asarray(slot_b))
 
 
+def test_packets_binary_fallback_matches():
+    """Meshes without the 8-wide arrays run the original binary kernel."""
+    host = _soup(120, seed=3)
+    mesh = pack_mesh(host)
+    o, d = _aimed_rays(host, BLOCK, seed=4)
+    t_max = jnp.full((BLOCK,), 1e6, jnp.float32)
+    slot_w, _ = traverse_packets(mesh, o, d, t_max, interpret=True)
+    bin_mesh = mesh._replace(nodes8_f=None, nodes8_i=None, nodes8_ax=None)
+    slot_b, _ = traverse_packets(bin_mesh, o, d, t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(slot_w), np.asarray(slot_b))
+
+
+def test_tile_remap_preserves_results():
+    """image_shape remapping is a pure permutation: outputs identical."""
+    host = _soup(200, seed=9)
+    mesh = pack_mesh(host)
+    h, w = 32, 64
+    o, d = _aimed_rays(host, h * w, seed=11)
+    t_max = jnp.full((h * w,), 1e6, jnp.float32)
+    slot_a, t_a = traverse_packets(mesh, o, d, t_max, interpret=True)
+    slot_b, t_b = traverse_packets(
+        mesh, o, d, t_max, interpret=True, image_shape=(h, w))
+    np.testing.assert_array_equal(np.asarray(slot_a), np.asarray(slot_b))
+    np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+
+def test_bvh8_collapse_invariants():
+    """The 8-wide tree reaches exactly the binary tree's leaves, once each,
+    with children sorted along the stored axis."""
+    host = _soup(150, seed=12)
+    mesh = pack_mesh(host)
+    n8f = np.asarray(mesh.nodes8_f)
+    n8i = np.asarray(mesh.nodes8_i)
+    n8ax = np.asarray(mesh.nodes8_ax)
+    nbin = np.asarray(mesh.nodes_i)
+    pack = np.asarray(mesh.tri_pack)
+    bin_leaves = []
+    for n in range(nbin.shape[0]):
+        c0, n0, c1, n1 = nbin[n]
+        if n0 > 0:
+            bin_leaves.append((c0, n0))
+        if n1 > 0:
+            bin_leaves.append((c1, n1))
+    wide_leaves, seen, stack = [], set(), [0]
+    while stack:
+        wnode = stack.pop()
+        assert wnode not in seen  # tree, not DAG
+        seen.add(wnode)
+        ax = int(n8ax[wnode, 0])
+        keys = []
+        for c in range(8):
+            ref, cnt = n8i[wnode, 2 * c], n8i[wnode, 2 * c + 1]
+            if cnt > 0:
+                # Leaf refs index the 8-aligned tri_pack; each row stores
+                # its original contiguous slot at column 9.  The leaf's
+                # rows must be the contiguous run [start, start+cnt) and
+                # its padding rows degenerate.
+                assert ref % 8 == 0
+                start = int(pack[ref, 9])
+                for j in range(cnt):
+                    assert int(pack[ref + j, 9]) == start + j
+                assert not np.any(pack[ref + cnt:ref + 8, 0:9])
+                wide_leaves.append((start, cnt))
+            elif cnt == 0:
+                stack.append(ref)
+            if cnt >= 0:
+                keys.append(n8f[wnode * 8 + c, ax] + n8f[wnode * 8 + c, 3 + ax])
+        assert all(keys[i] <= keys[i + 1] + 1e-5 for i in range(len(keys) - 1))
+    assert sorted(bin_leaves) == sorted(wide_leaves)
+
+
 def test_packets_respect_t_max():
     """Hits beyond t_max (e.g. an earlier sphere hit) must be rejected."""
     host = _soup(60, seed=7)

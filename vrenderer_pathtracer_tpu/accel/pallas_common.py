@@ -28,7 +28,7 @@ def safe_inv(d):
     )
 
 
-def root_exit_clamp(o, d, t_max, nodes_f):
+def root_exit_clamp(o, d, t_max, node_f):
     """Clamp per-lane search bounds to the root-box exit distance.
 
     Any triangle hit satisfies ``t <= exit(root box)``, so a lane's search
@@ -37,15 +37,15 @@ def root_exit_clamp(o, d, t_max, nodes_f):
     without this, miss lanes carried t=1e6 and forced the block-wide
     any-hit vote to descend subtrees no lane could ever hit.  A small
     relative margin guards fp disagreement between this slab test and the
-    per-node ones.
+    per-node ones.  ``node_f(n, k)`` is the scalar node-float accessor.
     """
     inv = safe_inv(d)
-    lo = (jnp.minimum(nodes_f[0, 0], nodes_f[0, 6]),
-          jnp.minimum(nodes_f[0, 1], nodes_f[0, 7]),
-          jnp.minimum(nodes_f[0, 2], nodes_f[0, 8]))
-    hi = (jnp.maximum(nodes_f[0, 3], nodes_f[0, 9]),
-          jnp.maximum(nodes_f[0, 4], nodes_f[0, 10]),
-          jnp.maximum(nodes_f[0, 5], nodes_f[0, 11]))
+    lo = (jnp.minimum(node_f(0, 0), node_f(0, 6)),
+          jnp.minimum(node_f(0, 1), node_f(0, 7)),
+          jnp.minimum(node_f(0, 2), node_f(0, 8)))
+    hi = (jnp.maximum(node_f(0, 3), node_f(0, 9)),
+          jnp.maximum(node_f(0, 4), node_f(0, 10)),
+          jnp.maximum(node_f(0, 5), node_f(0, 11)))
     tn = jnp.full_like(t_max, -jnp.inf)
     tf = jnp.full_like(t_max, jnp.inf)
     for k in range(3):
@@ -83,6 +83,248 @@ def make_slab_any(o, inv, t_out):
     return slab_any
 
 
+def root_exit_clamp_wide(o, d, t_max, node_fv):
+    """root_exit_clamp for the 8-wide layout: root box = union of the root
+    node's child boxes (rows 0..7 of ``node_fv``; empty slots carry
+    inverted boxes and never win)."""
+    inv = safe_inv(d)
+    lo = [node_fv[0, 0], node_fv[0, 1], node_fv[0, 2]]
+    hi = [node_fv[0, 3], node_fv[0, 4], node_fv[0, 5]]
+    for c in range(1, 8):
+        for k in range(3):
+            lo[k] = jnp.minimum(lo[k], node_fv[c, k])
+            hi[k] = jnp.maximum(hi[k], node_fv[c, 3 + k])
+    tn = jnp.full_like(t_max, -jnp.inf)
+    tf = jnp.full_like(t_max, jnp.inf)
+    for k in range(3):
+        t0 = (lo[k] - o[k]) * inv[k]
+        t1 = (hi[k] - o[k]) * inv[k]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit_root = jnp.maximum(tn, 0.0) <= tf
+    bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
+    return jnp.minimum(t_max, bound)
+
+
+def make_leaf_fn(o, d, t_out, slot_out, tri, slot_base, on_hit=None):
+    """Inline leaf resolver: ``leaf(start, count)`` runs up to MAX_LEAF
+    Möller–Trumbore tests, each one triangle broadcast against all lanes,
+    updating the running best (t, slot) refs in place."""
+
+    def tri_test(s, live):
+        v0, e1, e2 = tri(s)
+        px = d[1] * e2[2] - d[2] * e2[1]
+        py = d[2] * e2[0] - d[0] * e2[2]
+        pz = d[0] * e2[1] - d[1] * e2[0]
+        det = e1[0] * px + e1[1] * py + e1[2] * pz
+        ok_det = jnp.abs(det) > TRI_EPS
+        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+        tx = o[0] - v0[0]
+        ty = o[1] - v0[1]
+        tz = o[2] - v0[2]
+        u = (tx * px + ty * py + tz * pz) * inv_det
+        qx = ty * e1[2] - tz * e1[1]
+        qy = tz * e1[0] - tx * e1[2]
+        qz = tx * e1[1] - ty * e1[0]
+        v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
+        t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+        ok = (
+            live & ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+            & (t > TRI_EPS) & (t < t_out[:])
+        )
+        t_out[:] = jnp.where(ok, t, t_out[:])
+        slot_out[:] = jnp.where(ok, slot_base + s, slot_out[:])
+        if on_hit is not None:
+            on_hit(s, ok, u, v, e1, e2)
+
+    def leaf(start, count):
+        # All MAX_LEAF slots are tested unconditionally with the validity
+        # folded into the hit mask: straight-line vector code pipelines
+        # (measured ~160ns/test vs ~350ns when each test hides behind a
+        # pl.when branch).  Over-read slots belong to the NEXT leaf (slots
+        # are contiguous) or to degenerate padding; `live` masks them.
+        def tb(k, _):
+            tri_test(start + k, k < count)
+            return 0
+
+        lax.fori_loop(0, MAX_LEAF, tb, 0, unroll=True)
+
+    return leaf
+
+
+def make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win=None):
+    """Vector leaf resolver for the 8-aligned ``tri_pack`` layout.
+
+    ``leaf(ref)`` loads rows [ref, ref+8) of ``tri_pack`` as ONE (8,16)
+    vector block — row = (v0, e1, e2, original slot, uv corners) — and
+    runs the Möller–Trumbore test 8-triangles x 128-rays per op: ray
+    group g is broadcast across sublanes while triangle components
+    broadcast across lanes, so a whole leaf costs zero scalar loads (the
+    scalar-leaf path paid 9 scalar fetches per triangle, which set its
+    ~160ns/test floor).  Zero padding rows have det 0 and never hit;
+    each winning lane takes the pack row's stored ORIGINAL slot, so
+    downstream attribute lookups keep indexing the contiguous arrays.
+
+    ``on_win(g, ref, win, select, blk, bu, bv)`` — optional hook, called
+    once per ray group with the (1,C) win mask, a ``select(vals(8,C)) ->
+    (1,C)`` reduction that picks the winner triangle row per lane, the
+    leaf's (8,16) block, and the (8,C) barycentrics; the fused radiance
+    kernel uses it to capture shading attributes at win time.
+    """
+    n_groups = o[0].shape[0]
+
+    def leaf(ref, count):
+        del count  # all 8 rows tested; padding rows are degenerate
+        blk = tri_pack[pl.ds(ref, 8), :]
+        v0 = [blk[:, k:k + 1] for k in range(3)]
+        e1 = [blk[:, 3 + k:4 + k] for k in range(3)]
+        e2 = [blk[:, 6 + k:7 + k] for k in range(3)]
+        slotc = blk[:, 9:10]
+        shape = (8, t_out.shape[1])
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        for g in range(n_groups):
+            og = [jnp.broadcast_to(o[k][g:g + 1, :], shape) for k in range(3)]
+            dg = [jnp.broadcast_to(d[k][g:g + 1, :], shape) for k in range(3)]
+            px = dg[1] * e2[2] - dg[2] * e2[1]
+            py = dg[2] * e2[0] - dg[0] * e2[2]
+            pz = dg[0] * e2[1] - dg[1] * e2[0]
+            det = e1[0] * px + e1[1] * py + e1[2] * pz
+            ok_det = jnp.abs(det) > TRI_EPS
+            inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
+            tx = og[0] - v0[0]
+            ty = og[1] - v0[1]
+            tz = og[2] - v0[2]
+            u = (tx * px + ty * py + tz * pz) * inv_det
+            qx = ty * e1[2] - tz * e1[1]
+            qy = tz * e1[0] - tx * e1[2]
+            qz = tx * e1[1] - ty * e1[0]
+            v = (dg[0] * qx + dg[1] * qy + dg[2] * qz) * inv_det
+            t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
+            best_g = t_out[g:g + 1, :]
+            ok = (
+                ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                & (t > TRI_EPS) & (t < jnp.broadcast_to(best_g, shape))
+            )
+            tm = jnp.where(ok, t, jnp.inf)
+            t_min = jnp.min(tm, axis=0, keepdims=True)        # (1,128)
+            win = t_min < best_g
+            # Deterministic winner: the FIRST row at the minimum (pack
+            # order = leaf order, matching the sequential first-tri-wins
+            # tie convention), as a one-hot for exact value selection.
+            w_row = jnp.min(jnp.where(tm <= t_min, rows, 8),
+                            axis=0, keepdims=True)
+            onehot = rows == w_row                            # (8,128)
+
+            def select(vals):
+                return jnp.sum(jnp.where(onehot, vals, 0.0),
+                               axis=0, keepdims=True)
+
+            s_win = select(jnp.broadcast_to(slotc, shape))
+            t_out[g:g + 1, :] = jnp.where(win, t_min, best_g)
+            slot_out[g:g + 1, :] = jnp.where(
+                win, s_win.astype(jnp.int32), slot_out[g:g + 1, :])
+            if on_win is not None:
+                on_win(g, ref, win, select, blk, u, v)
+
+    return leaf
+
+
+def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
+                         node_fv, node_i, node_ax, tri_pack, n_nodes,
+                         on_win=None):
+    """8-wide packet traversal (accel/wide.py layout) for one ray block.
+
+    Per visit, ALL EIGHT child boxes arrive in one aligned (8,8) VECTOR
+    load from ``node_fv`` (row ``n*8+c`` = child c's lo3/hi3) — the
+    per-visit scalar-unit loads, not FLOPs, dominate packet traversal on
+    TPU (measured ~20-45ns per scalar fetch), and this removes all 48 of
+    them.  The slab test then runs child-parallel: rays are processed in
+    eight 128-lane groups, each group broadcast across sublanes so one
+    (8,128) op tests 8 children x 128 rays.  The eight any-hit votes
+    resolve with TWO packed reductions (per-child lane counts weighted
+    into 8-bit fields of two scalars) instead of one vote round trip per
+    child.  Traversal order comes from the build-time child sort: children
+    are pushed far-to-near along the node's stored axis, flipped by the
+    sign of the block-representative ray direction (lane 0), so no
+    block-wide min-reduction is needed.
+
+    ``node_fv`` — the (N*8, >=6) float VMEM ref; ``node_i(n,k)`` k<16 —
+    8 x (ref,count) scalar accessor; ``node_ax(n)`` — sort axis;
+    ``tri_pack`` — the (T8,16) aligned leaf-block VMEM ref (leaf refs in
+    ``node_i`` index THIS space; winners record the original slot stored
+    per row).  The stack must hold ``7*depth+1`` entries (checked at
+    build time against WIDE_STACK_DEPTH).
+    """
+    inv = safe_inv(d)
+    leaf = make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win)
+    dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
+    w_lo = jnp.where(rows < 4, jnp.left_shift(1, 8 * rows), 0)
+    w_hi = jnp.where(rows >= 4, jnp.left_shift(1, 8 * (rows - 4)), 0)
+    n_groups = o[0].shape[0]
+
+    def body(carry):
+        sp, it = carry
+        node = stack[sp - 1]
+        sp = sp - 1
+        ax = node_ax(node)
+        neg = jnp.where(ax == 0, dneg[0], jnp.where(ax == 1, dneg[1], dneg[2]))
+        refs = [node_i(node, 2 * c) for c in range(8)]
+        cnts = [node_i(node, 2 * c + 1) for c in range(8)]
+        best = t_out[:]
+        boxes = node_fv[pl.ds(node * 8, 8), :]    # (8, >=6): child boxes
+        lo = [boxes[:, k:k + 1] for k in range(3)]
+        hi = [boxes[:, 3 + k:4 + k] for k in range(3)]
+        shape = (8, best.shape[1])
+        acc = jnp.zeros(shape, jnp.int32)
+        for g in range(n_groups):
+            tn = jnp.full(shape, -jnp.inf)
+            tf = jnp.full(shape, jnp.inf)
+            for k in range(3):
+                og = jnp.broadcast_to(o[k][g:g + 1, :], shape)
+                ig = jnp.broadcast_to(inv[k][g:g + 1, :], shape)
+                t0 = (lo[k] - og) * ig
+                t1 = (hi[k] - og) * ig
+                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+            bg = jnp.broadcast_to(best[g:g + 1, :], shape)
+            hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bg)
+            acc = acc | hit.astype(jnp.int32)
+        counts = jnp.sum(acc, axis=1, keepdims=True)  # (8,1), each <= 128
+        s_lo = jnp.sum(counts * w_lo)
+        s_hi = jnp.sum(counts * w_hi)
+        bits = [(jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0 for c in range(4)] \
+            + [(jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0 for c in range(4)]
+
+        # Leaves near-to-far (build order is ascending along the axis).
+        for j in range(8):
+            b = jnp.where(neg, bits[7 - j], bits[j])
+            ref = jnp.where(neg, refs[7 - j], refs[j])
+            cnt = jnp.where(neg, cnts[7 - j], cnts[j])
+
+            @pl.when(b & (cnt > 0))
+            def _(ref=ref, cnt=cnt):
+                leaf(ref, cnt)
+
+        # Inner pushes far-to-near, so the near child pops first.  Writes
+        # are unconditional select(push, ...) RMWs — no scalar branches.
+        for j in range(8):
+            b = jnp.where(neg, bits[j], bits[7 - j])
+            ref = jnp.where(neg, refs[j], refs[7 - j])
+            cnt = jnp.where(neg, cnts[j], cnts[7 - j])
+            push = b & (cnt == 0)
+            stack[sp] = jnp.where(push, ref, stack[sp])
+            sp = sp + push.astype(jnp.int32)
+        return sp, it + 1
+
+    stack[0] = 0
+    lax.while_loop(
+        lambda c: (c[0] > 0) & (c[1] < n_nodes + 8),
+        body,
+        (jnp.int32(1), jnp.int32(0)),
+    )
+
+
 def packet_traverse(o, d, t_out, slot_out, stack, *,
                     node_f, node_i, tri, slot_base, n_nodes, on_hit=None):
     """Traverse one BVH for one ray block, updating best hits in place.
@@ -102,41 +344,7 @@ def packet_traverse(o, d, t_out, slot_out, stack, *,
     """
     inv = safe_inv(d)
     slab_any = make_slab_any(o, inv, t_out)
-
-    def tri_test(s):
-        v0, e1, e2 = tri(s)
-        px = d[1] * e2[2] - d[2] * e2[1]
-        py = d[2] * e2[0] - d[0] * e2[2]
-        pz = d[0] * e2[1] - d[1] * e2[0]
-        det = e1[0] * px + e1[1] * py + e1[2] * pz
-        ok_det = jnp.abs(det) > TRI_EPS
-        inv_det = 1.0 / jnp.where(ok_det, det, 1.0)
-        tx = o[0] - v0[0]
-        ty = o[1] - v0[1]
-        tz = o[2] - v0[2]
-        u = (tx * px + ty * py + tz * pz) * inv_det
-        qx = ty * e1[2] - tz * e1[1]
-        qy = tz * e1[0] - tx * e1[2]
-        qz = tx * e1[1] - ty * e1[0]
-        v = (d[0] * qx + d[1] * qy + d[2] * qz) * inv_det
-        t = (e2[0] * qx + e2[1] * qy + e2[2] * qz) * inv_det
-        ok = (
-            ok_det & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-            & (t > TRI_EPS) & (t < t_out[:])
-        )
-        t_out[:] = jnp.where(ok, t, t_out[:])
-        slot_out[:] = jnp.where(ok, slot_base + s, slot_out[:])
-        if on_hit is not None:
-            on_hit(s, ok, u, v, e1, e2)
-
-    def leaf(start, count):
-        def tb(k, _):
-            @pl.when(k < count)
-            def _():
-                tri_test(start + k)
-            return 0
-
-        lax.fori_loop(0, MAX_LEAF, tb, 0, unroll=True)
+    leaf = make_leaf_fn(o, d, t_out, slot_out, tri, slot_base, on_hit)
 
     def body(carry):
         sp, it = carry
@@ -167,6 +375,8 @@ def packet_traverse(o, d, t_out, slot_out, stack, *,
             leaf(c1, n1)
 
         # Push inner children far-first so the block visits near first.
+        # Conditional pushes are expressed as unconditional SMEM writes of
+        # select(push, child, old) — cheaper than pl.when branches.
         both = is_inner0 & is_inner1
         near_is_0 = near0 <= near1
         first = jnp.where(both, jnp.where(near_is_0, c1, c0),
@@ -174,13 +384,10 @@ def packet_traverse(o, d, t_out, slot_out, stack, *,
         second = jnp.where(near_is_0, c0, c1)
         any_push = is_inner0 | is_inner1
 
-        @pl.when(any_push)
-        def _():
-            stack[jnp.minimum(sp, STACK_DEPTH - 1)] = first
-
-        @pl.when(both)
-        def _():
-            stack[jnp.minimum(sp + 1, STACK_DEPTH - 1)] = second
+        i0 = jnp.minimum(sp, STACK_DEPTH - 1)
+        stack[i0] = jnp.where(any_push, first, stack[i0])
+        i1 = jnp.minimum(sp + any_push.astype(jnp.int32), STACK_DEPTH - 1)
+        stack[i1] = jnp.where(both, second, stack[i1])
 
         sp = jnp.minimum(
             sp + is_inner0.astype(jnp.int32) + is_inner1.astype(jnp.int32),

@@ -33,8 +33,15 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
-from vrenderer_pathtracer_tpu.accel.pallas_common import packet_traverse
+from vrenderer_pathtracer_tpu.accel.pallas_common import (
+    packet_traverse,
+    root_exit_clamp_wide,
+    wide_packet_traverse,
+)
+from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
 LANE_ROWS = 8
@@ -60,17 +67,21 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
     slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
+    # Node arrays arrive FLATTENED in SMEM (1-D, exact-size: 2-D SMEM
+    # windows pad every row to 128 lanes and overflow the ~1MB budget).
+    node_f = lambda n, k: nodes_f[n * 12 + k]
+    node_i = lambda n, k: nodes_i[n * 4 + k]
     # Miss-lane fix (round-1 collapse): a lane that will never hit anything
     # must not keep t=1e6 and drag the block's any-hit vote through the
     # whole tree.  No triangle lies beyond the root-box exit, so every
     # lane's search bound is clamped to it (0 for lanes missing the root
     # box entirely — they then fail every slab test and go silent).
-    t_out[:] = root_exit_clamp(o, d, tmax_ref[:], nodes_f)
+    t_out[:] = root_exit_clamp(o, d, tmax_ref[:], node_f)
     packet_traverse(
         o, d,
         t_out, slot_out, stack,
-        node_f=lambda n, k: nodes_f[n, k],
-        node_i=lambda n, k: nodes_i[n, k],
+        node_f=node_f,
+        node_i=node_i,
         tri=lambda s: (
             (tri_v0[s, 0], tri_v0[s, 1], tri_v0[s, 2]),
             (tri_e1[s, 0], tri_e1[s, 1], tri_e1[s, 2]),
@@ -83,13 +94,68 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
+def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
+                 ox, oy, oz, dx, dy, dz, tmax_ref,
+                 slot_out, t_out, stack):
+    """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
+    slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
+    o = (ox[:], oy[:], oz[:])
+    d = (dx[:], dy[:], dz[:])
+    t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f)
+    wide_packet_traverse(
+        o, d,
+        t_out, slot_out, stack,
+        node_fv=nodes8_f,
+        node_i=lambda n, k: nodes8_i[n * 16 + k],
+        node_ax=lambda n: nodes8_ax[n],
+        tri_pack=tri_pack,
+        n_nodes=nodes8_i.shape[0] // 16,
+    )
+    t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
+
+
+TILE = 32  # pixel tile edge for the coherence remap
+
+
+def _tile_remap(x, h: int, w: int, inverse: bool = False):
+    """Raster order <-> 32x32-pixel-tile order for [B,...] ray arrays.
+
+    Blocks of 1024 consecutive rays then cover compact image tiles instead
+    of full raster rows, so silhouette mixing is confined to the tiles that
+    actually straddle an edge (6x fewer node visits on the bench view).
+    Implemented as reshape+transpose — a fast XLA copy, NOT a gather
+    (a 524k-row gather costs more than the traversal it feeds).
+    """
+    rest = x.shape[1:]
+    if inverse:
+        x = x.reshape((-1, h // TILE, w // TILE, TILE, TILE) + rest)
+        x = x.transpose((0, 1, 3, 2, 4) + tuple(range(5, 5 + len(rest))))
+    else:
+        x = x.reshape((-1, h // TILE, TILE, w // TILE, TILE) + rest)
+        x = x.transpose((0, 1, 3, 2, 4) + tuple(range(5, 5 + len(rest))))
+    return x.reshape((-1,) + rest)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "image_shape"))
+def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
+                     image_shape=None):
     """Pallas packet traversal over [B] rays (B padded to 1024 internally).
 
     Returns ``(slot [B] int32, t [B] f32)`` matching accel.traverse.traverse.
+    ``image_shape=(h, w)``: rays are raster-ordered frames (B a multiple of
+    h*w); ray blocks are remapped to compact 32x32 pixel tiles, which keeps
+    hit/miss mixing — and with it the block-vote overtraversal — local to
+    true silhouette tiles.
     """
     b = ray_o.shape[0]
+    tiled = (image_shape is not None
+             and b % (image_shape[0] * image_shape[1]) == 0
+             and image_shape[0] % TILE == 0 and image_shape[1] % TILE == 0)
+    if tiled:
+        h, w = image_shape
+        ray_o = _tile_remap(ray_o, h, w)
+        ray_d = _tile_remap(ray_d, h, w)
+        t_max = _tile_remap(t_max, h, w)
     pad = (-b) % BLOCK
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
@@ -105,16 +171,41 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
     )
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
+    # Node arrays live in SMEM: traversal reads them one SCALAR at a time
+    # (per-node box/child fetches), and scalar loads from SMEM are native
+    # scalar-core ops, where the same loads from VMEM cost ~50ns each and
+    # dominate the per-visit budget.  Triangle arrays stay in VMEM.
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    # Node arrays are FLATTENED to 1-D: SMEM windows pad 2-D rows to 128
+    # lanes (a [M,12] window would balloon ~10x past the ~1MB SMEM budget).
+    wide = mesh.nodes8_f is not None
+    if wide:
+        kernel = _kernel_wide
+        scene_args = (mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
+                      mesh.nodes8_ax.reshape(-1), mesh.tri_pack)
+        # Boxes [N*8,8] and triangle leaf blocks [T8,16] in VMEM (both
+        # fetched as aligned vector blocks per visit); child records +
+        # axis scalar-resident in SMEM.
+        scene_specs = [scene_spec, smem_spec, smem_spec, scene_spec]
+        stack_depth = WIDE_STACK_DEPTH
+    else:
+        kernel = _kernel
+        scene_args = (mesh.nodes_f.reshape(-1), mesh.nodes_i.reshape(-1),
+                      mesh.tri_v0, mesh.tri_e1, mesh.tri_e2)
+        scene_specs = [smem_spec] * 2 + [scene_spec] * 3
+        stack_depth = STACK_DEPTH
+
     slot, t = pl.pallas_call(
-        _kernel,
+        kernel,
         grid=(nb,),
-        in_specs=[scene_spec] * 5 + [ray_spec] * 7,
+        in_specs=scene_specs + [ray_spec] * 7,
+        name=f"traverse_{'wide' if wide else 'bin'}",
         out_specs=(ray_spec, ray_spec),
         out_shape=(
             jax.ShapeDtypeStruct((nb * LANE_ROWS, LANE_COLS), jnp.int32),
             jax.ShapeDtypeStruct((nb * LANE_ROWS, LANE_COLS), jnp.float32),
         ),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         # Headroom beyond the 16MB default so the kernel still fits when the
         # surrounding render-step program pins buffers in VMEM.
         compiler_params=pltpu.CompilerParams(
@@ -122,11 +213,14 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         ),
         interpret=interpret,
     )(
-        mesh.nodes_f, mesh.nodes_i, mesh.tri_v0, mesh.tri_e1, mesh.tri_e2,
+        *scene_args,
         comp(ray_o[:, 0]), comp(ray_o[:, 1]), comp(ray_o[:, 2]),
         comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
         comp(t_max),
     )
     slot = slot.reshape(-1)[:b]
     t = t.reshape(-1)[:b]
+    if tiled:
+        slot = _tile_remap(slot, h, w, inverse=True)
+        t = _tile_remap(t, h, w, inverse=True)
     return slot, t

@@ -281,9 +281,14 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
     kernel on VMEM-resident TPU meshes, the XLA lockstep loop elsewhere.
     """
     if settings.traversal == "pallas":
+        import functools as _ft
+
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
 
-        search = traverse_packets
+        # Rays are raster-ordered per pass: remap blocks to 32x32 pixel
+        # tiles so silhouette hit/miss mixing stays local (see _tile_perm).
+        search = _ft.partial(
+            traverse_packets, image_shape=(settings.height, settings.width))
     elif settings.traversal.startswith("pallas_paged"):
         import functools
 

@@ -51,9 +51,9 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
-    packet_traverse, root_exit_clamp)
+    root_exit_clamp_wide, wide_packet_traverse)
+from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.config import RenderSettings
 from vrenderer_pathtracer_tpu.core import rng as rng_mod
 from vrenderer_pathtracer_tpu.ops import texture as tex_ops
@@ -120,15 +120,12 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         return False  # per-(s,b) output slots / compile-size bound
     if settings.has_mesh and not settings.use_example_sphere:
         mesh = scene.mesh
-        if mesh is None or mesh.paged is not None:
+        if mesh is None or mesh.paged is not None or mesh.nodes8_f is None:
             return False
         defer = _Defer(settings)
-        t = mesh.tri_v0.shape[0]
-        bytes_needed = 64 * mesh.nodes_f.shape[0] + 3 * 12 * t
-        if defer.tex:
-            bytes_needed += 24 * t
+        bytes_needed = (mesh.nodes8_f.size + mesh.tri_pack.size) * 4
         if defer.merl:
-            bytes_needed += 36 * t
+            bytes_needed += mesh.tri_aux_pack.size * 4
         if bytes_needed >= VMEM_SCENE_BUDGET:
             return False
     return True
@@ -198,13 +195,11 @@ def _kernel(cam, spheres, streams, *rest,
 
     rest = list(rest)
     if has_mesh:
-        nodes_f = rest.pop(0)
-        nodes_i = rest.pop(0)
-        tv0 = rest.pop(0)
-        te1 = rest.pop(0)
-        te2 = rest.pop(0)
-        tuv = rest.pop(0) if defer.tex else None
-        ttan = rest.pop(0) if defer.merl else None
+        nodes8_f = rest.pop(0)
+        nodes8_i = rest.pop(0)   # flat SMEM, 16 ints per wide node
+        nodes8_ax = rest.pop(0)  # flat SMEM, sort axis per wide node
+        tri_pack = rest.pop(0)   # [T8,16] leaf blocks (incl. uv corners)
+        tri_aux = rest.pop(0) if defer.merl else None  # tangent corners
     out = rest.pop(0)
     if has_mesh:
         t_scr = rest.pop(0)
@@ -377,56 +372,62 @@ def _kernel(cam, spheres, streams, *rest,
                     tan_z = jnp.where(ex_hit, jnp.cos(theta), tan_z)
 
             if has_mesh:
-                # --- fused packet traversal, attrs captured at win time ---
+                # --- fused 8-wide packet traversal (accel/wide.py layout),
+                # attrs captured at win time from the vector leaf blocks ---
                 slot_scr[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
-                t_scr[:] = root_exit_clamp(
-                    (ox, oy, oz), (dx, dy, dz), best_t, nodes_f)
+                t_scr[:] = root_exit_clamp_wide(
+                    (ox, oy, oz), (dx, dy, dz), best_t, nodes8_f)
 
-                def on_hit(sl, okm, bu, bv, se1, se2):
-                    fx = se1[1] * se2[2] - se1[2] * se2[1]
-                    fy = se1[2] * se2[0] - se1[0] * se2[2]
-                    fz = se1[0] * se2[1] - se1[1] * se2[0]
+                def on_win(g, ref, win, select, blk, bu, bv):
+                    shape = (8, COLS)
+                    fx = (blk[:, 4:5] * blk[:, 8:9]
+                          - blk[:, 5:6] * blk[:, 7:8])  # e1 x e2 per row
+                    fy = (blk[:, 5:6] * blk[:, 6:7]
+                          - blk[:, 3:4] * blk[:, 8:9])
+                    fz = (blk[:, 3:4] * blk[:, 7:8]
+                          - blk[:, 4:5] * blk[:, 6:7])
+                    nxw = select(jnp.broadcast_to(fx, shape))
+                    nyw = select(jnp.broadcast_to(fy, shape))
+                    nzw = select(jnp.broadcast_to(fz, shape))
                     finv = lax.rsqrt(jnp.maximum(
-                        fx * fx + fy * fy + fz * fz, 1e-40))
-                    nx_scr[:] = jnp.where(okm, fx * finv, nx_scr[:])
-                    ny_scr[:] = jnp.where(okm, fy * finv, ny_scr[:])
-                    nz_scr[:] = jnp.where(okm, fz * finv, nz_scr[:])
+                        nxw * nxw + nyw * nyw + nzw * nzw, 1e-40))
+                    row = slice(g, g + 1)
+                    nx_scr[row, :] = jnp.where(win, nxw * finv, nx_scr[row, :])
+                    ny_scr[row, :] = jnp.where(win, nyw * finv, ny_scr[row, :])
+                    nz_scr[row, :] = jnp.where(win, nzw * finv, nz_scr[row, :])
                     bw = 1.0 - bu - bv
-                    # tuv/ttan are rank-2 [T,6]/[T,9] (corner-major): rank-3
-                    # refs would tile the trailing (3,2) dims to (8,128)
-                    # each — a 170x VMEM blowup.
                     if defer.tex:
-                        iu = (bw * tuv[sl, 0] + bu * tuv[sl, 2]
-                              + bv * tuv[sl, 4])
-                        iv = (bw * tuv[sl, 1] + bu * tuv[sl, 3]
-                              + bv * tuv[sl, 5])
-                        uvu_scr[:] = jnp.where(okm, iu, uvu_scr[:])
-                        uvv_scr[:] = jnp.where(okm, iv, uvv_scr[:])
+                        iu = select(bw * blk[:, 10:11] + bu * blk[:, 12:13]
+                                    + bv * blk[:, 14:15])
+                        iv = select(bw * blk[:, 11:12] + bu * blk[:, 13:14]
+                                    + bv * blk[:, 15:16])
+                        uvu_scr[row, :] = jnp.where(win, iu, uvu_scr[row, :])
+                        uvv_scr[row, :] = jnp.where(win, iv, uvv_scr[row, :])
                     if defer.merl:
-                        tx = (bw * ttan[sl, 0] + bu * ttan[sl, 3]
-                              + bv * ttan[sl, 6])
-                        ty = (bw * ttan[sl, 1] + bu * ttan[sl, 4]
-                              + bv * ttan[sl, 7])
-                        tz = (bw * ttan[sl, 2] + bu * ttan[sl, 5]
-                              + bv * ttan[sl, 8])
+                        aux = tri_aux[pl.ds(ref, 8), :]
+                        tx = select(bw * aux[:, 0:1] + bu * aux[:, 3:4]
+                                    + bv * aux[:, 6:7])
+                        ty = select(bw * aux[:, 1:2] + bu * aux[:, 4:5]
+                                    + bv * aux[:, 7:8])
+                        tz = select(bw * aux[:, 2:3] + bu * aux[:, 5:6]
+                                    + bv * aux[:, 8:9])
                         tinv = lax.rsqrt(jnp.maximum(
                             tx * tx + ty * ty + tz * tz, 1e-40))
-                        txx_scr[:] = jnp.where(okm, tx * tinv, txx_scr[:])
-                        txy_scr[:] = jnp.where(okm, ty * tinv, txy_scr[:])
-                        txz_scr[:] = jnp.where(okm, tz * tinv, txz_scr[:])
+                        txx_scr[row, :] = jnp.where(
+                            win, tx * tinv, txx_scr[row, :])
+                        txy_scr[row, :] = jnp.where(
+                            win, ty * tinv, txy_scr[row, :])
+                        txz_scr[row, :] = jnp.where(
+                            win, tz * tinv, txz_scr[row, :])
 
-                packet_traverse(
+                wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
-                    node_f=lambda n, k: nodes_f[n, k],
-                    node_i=lambda n, k: nodes_i[n, k],
-                    tri=lambda sl: (
-                        (tv0[sl, 0], tv0[sl, 1], tv0[sl, 2]),
-                        (te1[sl, 0], te1[sl, 1], te1[sl, 2]),
-                        (te2[sl, 0], te2[sl, 1], te2[sl, 2]),
-                    ),
-                    slot_base=0,
-                    n_nodes=nodes_i.shape[0],
-                    on_hit=on_hit,
+                    node_fv=nodes8_f,
+                    node_i=lambda n, k: nodes8_i[n * 16 + k],
+                    node_ax=lambda n: nodes8_ax[n],
+                    tri_pack=tri_pack,
+                    n_nodes=nodes8_i.shape[0] // 16,
+                    on_win=on_win,
                 )
                 mesh_won = slot_scr[:] >= 0
                 best_t = jnp.where(mesh_won, t_scr[:], best_t)
@@ -717,18 +718,19 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     scratch = []
     if has_mesh:
         mesh = scene.mesh
-        inputs += [mesh.nodes_f, mesh.nodes_i,
-                   mesh.tri_v0, mesh.tri_e1, mesh.tri_e2]
-        in_specs += [small] * 5
-        if defer.tex:
-            inputs.append(mesh.tri_uv.reshape(-1, 6))   # corner-major [T,6]
-            in_specs.append(small)
+        smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+        # 8-wide layout: child boxes + leaf blocks are VMEM vector loads;
+        # child records + sort axis are SMEM scalar fetches (flattened 1-D:
+        # SMEM windows pad 2-D rows to 128 lanes).
+        inputs += [mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
+                   mesh.nodes8_ax.reshape(-1), mesh.tri_pack]
+        in_specs += [small, smem, smem, small]
         if defer.merl:
-            inputs.append(mesh.tri_t.reshape(-1, 9))    # corner-major [T,9]
+            inputs.append(mesh.tri_aux_pack)            # tangent corners
             in_specs.append(small)
         tile_f32 = pltpu.VMEM((ROWS, COLS), jnp.float32)
         scratch = [tile_f32, pltpu.VMEM((ROWS, COLS), jnp.int32),
-                   pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+                   pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32),
                    tile_f32, tile_f32, tile_f32]
         if defer.tex:
             scratch += [tile_f32, tile_f32]

@@ -56,6 +56,16 @@ class MeshData(NamedTuple):
     tri_uv: jnp.ndarray    # [T,3,2] per-corner uvs
     tri_count: jnp.ndarray # [] int32 — valid slots (rest is padding)
     paged: Optional[PagedNodes] = None  # set for VMEM-exceeding meshes
+    # 8-wide collapse of the same tree (accel/wide.py), used by the Pallas
+    # packet kernel to amortize block-vote round trips over 8 children.
+    nodes8_f: Optional[jnp.ndarray] = None   # [N*8,8] child AABBs (lo3,hi3)
+    nodes8_i: Optional[jnp.ndarray] = None   # [N,16] 8 x (ref,count)
+    nodes8_ax: Optional[jnp.ndarray] = None  # [N,1] build-time sort axis
+    # 8-aligned leaf blocks (v0,e1,e2,orig slot,uv corners) for the vector
+    # leaf phase; nodes8_i leaf refs index THIS space, nodes_i the
+    # contiguous arrays.  The aux pack carries tangent corners (MERL).
+    tri_pack: Optional[jnp.ndarray] = None       # [T8,16] float32
+    tri_aux_pack: Optional[jnp.ndarray] = None   # [T8,16] float32
 
 
 class Scene(NamedTuple):
