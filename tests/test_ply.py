@@ -129,8 +129,10 @@ def test_ply_matches_obj_pipeline(sphere):
 def test_dispatch_and_errors(sphere, tmp_path):
     pa, _, po = sphere
     assert load_mesh_file(pa).tris.shape == load_mesh_file(po).tris.shape
-    with pytest.raises(IOError, match="FBX"):
-        load_mesh_file(tmp_path / "x.fbx")
+    with pytest.raises(IOError, match="cannot open"):
+        load_mesh_file(tmp_path / "x.fbx")  # dispatches to load_fbx
+    with pytest.raises(IOError, match="unknown mesh format"):
+        load_mesh_file(tmp_path / "x.stl")
     bad = tmp_path / "bad.ply"
     bad.write_text("ply\nformat binary_big_endian 1.0\nend_header\n")
     with pytest.raises(IOError, match="unsupported PLY"):

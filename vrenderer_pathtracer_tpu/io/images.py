@@ -12,8 +12,11 @@ import numpy as np
 
 from vrenderer_pathtracer_tpu.native import (  # noqa: F401  (re-exports)
     load_exr,
+    load_fbx,
     load_merl,
+    load_mesh_file,
     load_obj,
+    load_ply,
     write_exr,
 )
 

@@ -41,6 +41,8 @@ def _load():
     ]
     lib.vt_load_ply.restype = ctypes.c_int
     lib.vt_load_ply.argtypes = lib.vt_load_obj.argtypes
+    lib.vt_load_fbx.restype = ctypes.c_int
+    lib.vt_load_fbx.argtypes = lib.vt_load_obj.argtypes
     lib.vt_load_merl.restype = ctypes.c_int
     lib.vt_load_merl.argtypes = [ctypes.c_char_p, ctypes.POINTER(c_fp), c_ip]
     lib.vt_load_exr.restype = ctypes.c_int
@@ -68,6 +70,12 @@ _PLY_ERRORS = {
     2: "truncated or invalid geometry",
     3: "unsupported PLY flavour (need ascii or binary_little_endian 1.0 "
        "with x/y/z vertex properties)",
+}
+_FBX_ERRORS = {
+    1: "cannot open file",
+    2: "corrupt container or no mesh geometry",
+    3: "not a binary FBX (ascii FBX and foreign formats unsupported: "
+       "convert to binary FBX, OBJ or PLY)",
 }
 _MERL_ERRORS = {
     1: "cannot open file",
@@ -170,19 +178,43 @@ def load_ply(path: str) -> HostMesh:
     )
 
 
+def load_fbx(path: str) -> HostMesh:
+    """Binary FBX import (csrc/fbx.cc): last Mesh geometry, layer-0
+    normals/UVs, same post-processing contract as :func:`load_obj`."""
+    lib = _load()
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+    pv, pn, pt, puv = c_fp(), c_fp(), c_fp(), c_fp()
+    ptris = c_ip()
+    nv, nt = ctypes.c_int(), ctypes.c_int()
+    rc = lib.vt_load_fbx(
+        str(path).encode(), ctypes.byref(pv), ctypes.byref(pn),
+        ctypes.byref(pt), ctypes.byref(puv), ctypes.byref(nv),
+        ctypes.byref(ptris), ctypes.byref(nt),
+    )
+    if rc != 0:
+        raise IOError(f"load_fbx({path}): {_reason(_FBX_ERRORS, rc)} (code {rc})")
+    v = nv.value
+    t = nt.value
+    return HostMesh(
+        verts=_take(pv, (v, 3), np.float32, lib),
+        normals=_take(pn, (v, 3), np.float32, lib),
+        tangents=_take(pt, (v, 3), np.float32, lib),
+        uvs=_take(puv, (v, 2), np.float32, lib),
+        tris=_take(ptris, (t, 3), np.int32, lib),
+    )
+
+
 def load_mesh_file(path: str) -> HostMesh:
     """Extension-dispatching mesh import (reference file dialog accepts
-    *.obj *.ply *.fbx, ``src/NGLScene.cpp:348``).  FBX is a closed binary
-    format needing a full SDK; it is rejected with a clear message."""
+    *.obj *.ply *.fbx, ``src/NGLScene.cpp:348``)."""
     p = str(path).lower()
     if p.endswith(".obj"):
         return load_obj(path)
     if p.endswith(".ply"):
         return load_ply(path)
     if p.endswith(".fbx"):
-        raise IOError(
-            f"load_mesh_file({path}): FBX import is not supported "
-            "(convert to OBJ or PLY)")
+        return load_fbx(path)
     raise IOError(f"load_mesh_file({path}): unknown mesh format")
 
 

@@ -63,11 +63,15 @@ ObjIndex parse_corner(const char* s, int nv, int nvt, int nvn) {
   return ix;
 }
 
+}  // namespace
+
 // Lengyel tangents: accumulate the UV-space u-direction per vertex, then
-// Gram-Schmidt against the normal (shared by the OBJ and PLY loaders).
-void compute_tangents(const std::vector<V3>& V, const std::vector<V3>& N,
-                      const std::vector<float>& UV,
-                      const std::vector<int>& tri_idx, std::vector<V3>* T) {
+// Gram-Schmidt against the normal (shared by the OBJ/PLY/FBX loaders —
+// fbx.cc links against these, hence external C++ linkage).
+void compute_tangents_shared(const std::vector<V3>& V, const std::vector<V3>& N,
+                             const std::vector<float>& UV,
+                             const std::vector<int>& tri_idx,
+                             std::vector<V3>* T) {
   const int nv = (int)V.size();
   const int nt = (int)(tri_idx.size() / 3);
   T->assign(nv, V3{0, 0, 0});
@@ -101,7 +105,7 @@ void compute_tangents(const std::vector<V3>& V, const std::vector<V3>& N,
   }
 }
 
-float* alloc_v3(const std::vector<V3>& src) {
+float* alloc_v3_shared(const std::vector<V3>& src) {
   float* p = (float*)std::malloc(sizeof(float) * 3 * src.size());
   if (!p) return nullptr;
   for (size_t i = 0; i < src.size(); ++i) {
@@ -112,6 +116,9 @@ float* alloc_v3(const std::vector<V3>& src) {
   return p;
 }
 
+namespace {
+constexpr auto* compute_tangents = compute_tangents_shared;
+constexpr auto* alloc_v3 = alloc_v3_shared;
 }  // namespace
 
 extern "C" {
