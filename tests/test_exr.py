@@ -278,6 +278,96 @@ def test_exr_piz_roundtrip(tmp_path, shape):
     np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-3)  # HALF
 
 
+# ---------------------------------------------------------------------------
+# Tiled layout (version flag 0x200) — hand-built single-part tiled files.
+# ---------------------------------------------------------------------------
+
+
+def _build_tiled_exr(img, tile_w, tile_h, level_mode=0):
+    """Single-part tiled EXR, FLOAT channels, ZIP-compressed tiles.
+
+    level_mode 0 = ONE_LEVEL; 1 = MIPMAP (level-(0,0) tiles carry the
+    image, higher levels carry garbage-free filler the reader must skip).
+    """
+    h, w, _ = img.shape
+    chl = b""
+    for cn in (b"B", b"G", b"R"):
+        chl += cn + b"\0" + struct.pack("<iiii", 2, 0, 1, 1)  # FLOAT
+    chl += b"\0"
+    header = struct.pack("<II", 20000630, 2 | 0x200)
+    header += _attr("channels", "chlist", chl)
+    header += _attr("compression", "compression", bytes([3]))  # ZIP
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += _attr("dataWindow", "box2i", box)
+    header += _attr("displayWindow", "box2i", box)
+    header += _attr("lineOrder", "lineOrder", b"\0")
+    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    # tiledesc: xSize, ySize, mode (level_mode | roundingMode<<4; round down)
+    header += _attr("tiles", "tiledesc",
+                    struct.pack("<IIB", tile_w, tile_h, level_mode))
+    header += b"\0"
+
+    def tile_chunk(level_img, tdx, tdy, lx, ly):
+        lh, lw, _ = level_img.shape
+        x0, y0 = tdx * tile_w, tdy * tile_h
+        bw = min(tile_w, lw - x0)
+        bh = min(tile_h, lh - y0)
+        raw = b""
+        for y in range(y0, y0 + bh):
+            for c in (2, 1, 0):  # B, G, R rows per line
+                raw += level_img[y, x0:x0 + bw, c].astype("<f4").tobytes()
+        packed = zlib.compress(_exr_filter(raw))
+        if len(packed) >= len(raw):
+            packed = raw
+        return struct.pack("<iiiii", tdx, tdy, lx, ly, len(packed)) + packed
+
+    levels = [(img, 0)]
+    if level_mode == 1:
+        lv, n = img, 1
+        while max(lv.shape[0], lv.shape[1]) > 1:
+            lv = lv[::2, ::2]  # round-down mip (contents don't matter)
+            levels.append((np.zeros_like(lv), n))
+            n += 1
+
+    chunks = []
+    for lv, l in levels:
+        ntx = -(-lv.shape[1] // tile_w)
+        nty = -(-lv.shape[0] // tile_h)
+        for tdy in range(nty):
+            for tdx in range(ntx):
+                chunks.append(tile_chunk(lv, tdx, tdy, l, l))
+
+    data_start = len(header) + 8 * len(chunks)
+    offsets, pos = [], data_start
+    for c in chunks:
+        offsets.append(pos)
+        pos += len(c)
+    return header + b"".join(struct.pack("<Q", o) for o in offsets) + \
+        b"".join(chunks)
+
+
+@pytest.mark.parametrize("tile", [(16, 16), (32, 8), (13, 7)])
+def test_exr_tiled_one_level(tmp_path, tile):
+    rng = np.random.default_rng(5)
+    img = rng.uniform(0, 10, (37, 29, 3)).astype(np.float32)
+    p = tmp_path / "tiled.exr"
+    p.write_bytes(_build_tiled_exr(img, *tile))
+    back = native.load_exr(str(p))
+    np.testing.assert_array_equal(back, img)  # FLOAT: bit-exact
+
+
+def test_exr_tiled_mipmap_reads_level0(tmp_path):
+    """MIPMAP files: only the (0,0) plane is scattered; mip tiles skipped."""
+    rng = np.random.default_rng(6)
+    img = rng.uniform(0, 4, (24, 40, 3)).astype(np.float32)
+    p = tmp_path / "mip.exr"
+    p.write_bytes(_build_tiled_exr(img, 16, 16, level_mode=1))
+    back = native.load_exr(str(p))
+    np.testing.assert_array_equal(back, img)
+
+
 def test_exr_piz_compresses_smooth_data(tmp_path):
     """A smooth gradient (the realistic HDRI case) must actually shrink."""
     y = np.linspace(0, 1, 64)[:, None, None]

@@ -174,26 +174,82 @@ bool pxr24_reconstruct(const std::vector<uint8_t>& planes, int w, int nlines,
   return dp == want;
 }
 
+// Decode one compressed chunk covering `nlines` lines of `bw` pixels into
+// the standard raw scanline layout (shared by the scanline and tiled
+// paths).  `row_bytes` = sum of channel sizes * bw.
+bool decode_chunk(uint8_t compression, const std::vector<uint8_t>& packed,
+                  int bw, int nlines, size_t row_bytes,
+                  const std::vector<Channel>& channels,
+                  std::vector<uint8_t>* raw) {
+  const size_t want = row_bytes * (size_t)nlines;
+  const size_t dsize = packed.size();
+  if (compression == 0 || dsize >= want) {
+    // All compressors fall back to storing raw bytes when compression
+    // would not shrink the block.
+    if (dsize < want) return false;
+    raw->assign(packed.begin(), packed.begin() + want);
+  } else if (compression == 1) {  // RLE
+    if (!rle_decode(packed.data(), dsize, want, raw)) return false;
+    exr_unfilter(*raw);
+  } else if (compression == 4) {  // PIZ
+    std::vector<int> ch_shorts(channels.size());
+    for (size_t c = 0; c < channels.size(); ++c)
+      ch_shorts[c] = channels[c].type == 2 ? 2 : 1;
+    raw->resize(want);
+    if (!piz_uncompress(packed.data(), dsize, bw, nlines, ch_shorts.data(),
+                        (int)channels.size(), raw->data()))
+      return false;
+  } else if (compression == 5) {  // PXR24
+    size_t planes_size = 0;
+    for (const Channel& ch : channels)
+      planes_size += (size_t)(ch.type == 2 ? 3 : 2) * bw;
+    planes_size *= (size_t)nlines;
+    std::vector<uint8_t> planes(planes_size);
+    uLongf dst_len = (uLongf)planes_size;
+    if (uncompress(planes.data(), &dst_len, packed.data(), (uLong)dsize) !=
+            Z_OK ||
+        dst_len != planes_size)
+      return false;
+    if (!pxr24_reconstruct(planes, bw, nlines, channels, raw, want))
+      return false;
+  } else {  // ZIPS / ZIP
+    raw->resize(want);
+    uLongf dst_len = (uLongf)want;
+    if (uncompress(raw->data(), &dst_len, packed.data(), (uLong)dsize) !=
+            Z_OK ||
+        dst_len != want)
+      return false;
+    exr_unfilter(*raw);
+  }
+  return true;
+}
+
 }  // namespace
 
 extern "C" {
 
 // Read an EXR into [h*w*3] float32 RGB (top-down). Returns 0 on success,
 // >0 error codes: 1 open, 2 magic/version, 3 header parse, 4 unsupported
-// (tiled/deep/compression/channels), 5 data corrupt.
+// (deep/multipart/compression/channels), 5 data corrupt.  Scanline and
+// single-part tiled layouts (ONE_LEVEL and the level-(0,0) plane of
+// MIPMAP/RIPMAP files) are both handled.
 int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
   Reader r;
   r.f = std::fopen(path, "rb");
   if (!r.f) return 1;
   uint32_t magic, version;
   if (!r.get(&magic) || !r.get(&version) || magic != kMagic) return 2;
-  // Reject tiled (0x200), deep (0x800), multipart (0x1000); long-name flag
-  // (0x400) only relaxes the attribute-name limit and parses fine.
-  if (version & (0x200 | 0x800 | 0x1000)) return 4;
+  // Reject deep (0x800) and multipart (0x1000); the long-name flag (0x400)
+  // only relaxes the attribute-name limit and parses fine; tiled (0x200)
+  // takes the tile path below.
+  if (version & (0x800 | 0x1000)) return 4;
+  const bool tiled = (version & 0x200) != 0;
 
   std::vector<Channel> channels;
   int32_t dw[4] = {0, 0, 0, 0};
   uint8_t compression = 0;
+  uint32_t tile_x = 0, tile_y = 0;
+  uint8_t tile_mode = 0;
 
   for (;;) {
     std::string name;
@@ -223,6 +279,11 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
       std::memcpy(dw, buf.data(), 16);
     } else if (name == "compression" && type == "compression") {
       compression = buf[0];
+    } else if (name == "tiles" && type == "tiledesc") {
+      if (size != 9) return 3;
+      std::memcpy(&tile_x, &buf[0], 4);
+      std::memcpy(&tile_y, &buf[4], 4);
+      tile_mode = buf[8];
     }
   }
 
@@ -262,80 +323,123 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
   }
   if (idx_rgb[0] < 0 || idx_rgb[1] < 0 || idx_rgb[2] < 0) return 4;
 
-  const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
-  std::vector<uint64_t> offsets(n_blocks);
-  if (!r.read(offsets.data(), 8 * (size_t)n_blocks)) return 5;
-
   float* rgb = (float*)std::malloc(sizeof(float) * 3 * (size_t)w * h);
   if (!rgb) return 5;
 
-  std::vector<uint8_t> raw, packed;
-  for (int b = 0; b < n_blocks; ++b) {
-    if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
-    int32_t y0, dsize;
-    if (!r.get(&y0) || !r.get(&dsize) || dsize < 0) goto corrupt;
-    y0 -= dw[1];
-    // Unvalidated y0 > h would make nlines negative and the size_t multiply
-    // below wrap to a huge allocation (aborting under -fno-exceptions);
-    // reject out-of-range block headers as corruption instead.
-    if (y0 < 0 || y0 >= h) goto corrupt;
-    const int nlines = std::min(lines_per_block, h - y0);
-    if (nlines <= 0) goto corrupt;
-    const size_t want = row_bytes * (size_t)nlines;
-    packed.resize(dsize);
-    if (!r.read(packed.data(), dsize)) goto corrupt;
-    if (compression == 0 || (size_t)dsize >= want) {
-      // All compressors fall back to storing raw bytes when compression
-      // would not shrink the block.
-      raw.assign(packed.begin(), packed.begin() + std::min((size_t)dsize, want));
-      if (raw.size() < want) goto corrupt;
-    } else if (compression == 1) {  // RLE
-      if (!rle_decode(packed.data(), (size_t)dsize, want, &raw)) goto corrupt;
-      exr_unfilter(raw);
-    } else if (compression == 4) {  // PIZ
-      std::vector<int> ch_shorts(channels.size());
-      for (size_t c = 0; c < channels.size(); ++c)
-        ch_shorts[c] = channels[c].type == 2 ? 2 : 1;
-      raw.resize(want);
-      if (!piz_uncompress(packed.data(), (size_t)dsize, w, nlines,
-                          ch_shorts.data(), (int)channels.size(), raw.data()))
-        goto corrupt;
-    } else if (compression == 5) {  // PXR24
-      size_t planes_size = 0;
-      for (const Channel& ch : channels)
-        planes_size += (size_t)(ch.type == 2 ? 3 : 2) * w;
-      planes_size *= (size_t)nlines;
-      std::vector<uint8_t> planes(planes_size);
-      uLongf dst_len = (uLongf)planes_size;
-      if (uncompress(planes.data(), &dst_len, packed.data(), (uLong)dsize) !=
-              Z_OK ||
-          dst_len != planes_size)
-        goto corrupt;
-      if (!pxr24_reconstruct(planes, w, nlines, channels, &raw, want))
-        goto corrupt;
-    } else {  // ZIPS / ZIP
-      raw.resize(want);
-      uLongf dst_len = (uLongf)want;
-      if (uncompress(raw.data(), &dst_len, packed.data(), (uLong)dsize) != Z_OK ||
-          dst_len != want)
-        goto corrupt;
-      exr_unfilter(raw);
+  // Scatter `bh` decoded lines of `bw` pixels into rgb at (x0, y0).
+  auto scatter = [&](const std::vector<uint8_t>& raw, int x0, int y0, int bw,
+                     int bh) {
+    size_t rb = 0;
+    std::vector<size_t> off(channels.size());
+    for (size_t c = 0; c < channels.size(); ++c) {
+      off[c] = rb;
+      rb += (size_t)bw * ch_size[c];
     }
-    for (int line = 0; line < nlines; ++line) {
-      const uint8_t* row = raw.data() + row_bytes * (size_t)line;
+    for (int line = 0; line < bh; ++line) {
+      const uint8_t* row = raw.data() + rb * (size_t)line;
       const int y = y0 + line;
       if (y < 0 || y >= h) continue;
       for (int k = 0; k < 3; ++k) {
         const int c = idx_rgb[k];
-        const uint8_t* src = row + ch_offset[c];
-        float* dst = rgb + ((size_t)y * w) * 3 + k;
+        const uint8_t* src = row + off[c];
+        float* dst = rgb + ((size_t)y * w + x0) * 3 + k;
         if (ch_size[c] == 2) {
           const uint16_t* hp = (const uint16_t*)src;
-          for (int x = 0; x < w; ++x, dst += 3) *dst = half_to_float(hp[x]);
+          for (int x = 0; x < bw; ++x, dst += 3) *dst = half_to_float(hp[x]);
         } else {
           const float* fp = (const float*)src;
-          for (int x = 0; x < w; ++x, dst += 3) *dst = fp[x];
+          for (int x = 0; x < bw; ++x, dst += 3) *dst = fp[x];
         }
+      }
+    }
+  };
+
+  std::vector<uint8_t> raw, packed;
+  if (!tiled) {
+    const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
+    std::vector<uint64_t> offsets(n_blocks);
+    if (!r.read(offsets.data(), 8 * (size_t)n_blocks)) goto corrupt;
+
+    for (int b = 0; b < n_blocks; ++b) {
+      if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
+      int32_t y0, dsize;
+      if (!r.get(&y0) || !r.get(&dsize) || dsize < 0) goto corrupt;
+      y0 -= dw[1];
+      // Unvalidated y0 > h would make nlines negative and the size_t
+      // multiply below wrap to a huge allocation (aborting under
+      // -fno-exceptions); reject out-of-range block headers as corruption.
+      if (y0 < 0 || y0 >= h) goto corrupt;
+      const int nlines = std::min(lines_per_block, h - y0);
+      if (nlines <= 0) goto corrupt;
+      packed.resize(dsize);
+      if (!r.read(packed.data(), dsize)) goto corrupt;
+      if (!decode_chunk(compression, packed, w, nlines, row_bytes, channels,
+                        &raw))
+        goto corrupt;
+      scatter(raw, 0, y0, w, nlines);
+    }
+  } else {
+    // Tiled single-part: offset table covers every level; only level (0,0)
+    // tiles — identified by the lx/ly fields each tile block carries — are
+    // scattered.  Level sizes follow the tiledesc rounding mode.
+    if (tile_x == 0 || tile_y == 0 || tile_x > (1u << 20) ||
+        tile_y > (1u << 20))
+      goto corrupt;
+    const int level_mode = tile_mode & 0xF;       // 0 one, 1 mip, 2 rip
+    const int round_up = (tile_mode >> 4) != 0;   // rounding mode
+    if (level_mode > 2) goto corrupt;
+    auto level_size = [&](int n, int l) {
+      int64_t d = (int64_t)1 << l;
+      int64_t s = round_up ? (n + d - 1) / d : n / d;
+      return (int)(s < 1 ? 1 : s);
+    };
+    auto n_levels_for = [&](int n) {
+      int lv = 1;
+      while (n > 1) {
+        n = round_up ? (n + 1) / 2 : n / 2;
+        ++lv;
+      }
+      return lv;
+    };
+    int nlx = 1, nly = 1;
+    if (level_mode == 1)
+      nlx = nly = n_levels_for(std::max(w, h));
+    else if (level_mode == 2) {
+      nlx = n_levels_for(w);
+      nly = n_levels_for(h);
+    }
+    int64_t n_chunks = 0;
+    for (int ly = 0; ly < nly; ++ly)
+      for (int lx = 0; lx < nlx; ++lx) {
+        if (level_mode == 1 && lx != ly) continue;
+        int64_t tx = (level_size(w, lx) + tile_x - 1) / tile_x;
+        int64_t ty = (level_size(h, ly) + tile_y - 1) / tile_y;
+        n_chunks += tx * ty;
+      }
+    if (n_chunks <= 0 || n_chunks > (int64_t)1 << 24) goto corrupt;
+    {
+      std::vector<uint64_t> offsets(n_chunks);
+      if (!r.read(offsets.data(), 8 * (size_t)n_chunks)) goto corrupt;
+      for (int64_t b = 0; b < n_chunks; ++b) {
+        if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
+        int32_t tdx, tdy, tlx, tly, dsize;
+        if (!r.get(&tdx) || !r.get(&tdy) || !r.get(&tlx) || !r.get(&tly) ||
+            !r.get(&dsize) || dsize < 0)
+          goto corrupt;
+        if (tlx != 0 || tly != 0) continue;  // only the full-res plane
+        const int x0 = (int)((int64_t)tdx * tile_x);
+        const int y0 = (int)((int64_t)tdy * tile_y);
+        if (x0 < 0 || x0 >= w || y0 < 0 || y0 >= h) goto corrupt;
+        const int bw = std::min((int)tile_x, w - x0);
+        const int bh = std::min((int)tile_y, h - y0);
+        size_t rb = 0;
+        for (size_t c = 0; c < channels.size(); ++c)
+          rb += (size_t)bw * ch_size[c];
+        packed.resize(dsize);
+        if (!r.read(packed.data(), dsize)) goto corrupt;
+        if (!decode_chunk(compression, packed, bw, bh, rb, channels, &raw))
+          goto corrupt;
+        scatter(raw, x0, y0, bw, bh);
       }
     }
   }
