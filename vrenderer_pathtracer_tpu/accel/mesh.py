@@ -82,48 +82,18 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
         out[:r] = a
         return out
 
-    from vrenderer_pathtracer_tpu.accel.wide import collapse_bvh8
+    from vrenderer_pathtracer_tpu.accel.wide import (
+        build_leaf_packs, collapse_bvh8)
 
-    n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
-
-    # Aligned leaf-block triangle pack for the wide kernel's VECTOR leaf
-    # phase: each leaf's MAX_LEAF slots start at a multiple of 8 so the
-    # kernel fetches them as ONE (8,16) vector block — row = (v0, e1, e2,
-    # original slot, uv corners).  An aux pack carries the tangent corners
-    # for MERL shading.  nodes8_i leaf refs are remapped to this space;
+    # 8-wide collapse + aligned leaf-block packs for the wide kernel's
+    # VECTOR phases (accel/wide.py).  nodes8_i leaf refs index the pack;
     # the original contiguous arrays (and nodes_i) keep the XLA/binary
     # layout, and winners record the original slot.
-    e1 = v1 - v0
-    e2 = v2 - v0
-    uvs = corners(mesh.uvs).reshape(-1, 6)        # (u0,v0,u1,v1,u2,v2)
-    tans = corners(mesh.tangents).reshape(-1, 9)  # (t0,t1,t2) xyz
-    pack_rows = []
-    aux_rows = []
-    n8i = n8i.copy()
-    for w in range(n8i.shape[0]):
-        for c in range(8):
-            ref, cnt = n8i[w, 2 * c], n8i[w, 2 * c + 1]
-            if cnt > 0:
-                n8i[w, 2 * c] = len(pack_rows)
-                for j in range(cnt):
-                    s = ref + j
-                    row = np.zeros(16, np.float32)
-                    row[0:3] = v0[s]
-                    row[3:6] = e1[s]
-                    row[6:9] = e2[s]
-                    row[9] = float(s)
-                    row[10:16] = uvs[s]
-                    pack_rows.append(row)
-                    arow = np.zeros(16, np.float32)
-                    arow[0:9] = tans[s]
-                    aux_rows.append(arow)
-                while len(pack_rows) % 8:
-                    pack_rows.append(np.zeros(16, np.float32))
-                    aux_rows.append(np.zeros(16, np.float32))
-    tri_pack = (np.stack(pack_rows) if pack_rows
-                else np.zeros((8, 16), np.float32))
-    tri_aux_pack = (np.stack(aux_rows) if aux_rows
-                    else np.zeros((8, 16), np.float32))
+    n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
+    n8i, tri_pack, tri_aux_pack = build_leaf_packs(
+        n8i, v0, v1 - v0, v2 - v0,
+        corners(mesh.uvs).reshape(-1, 6),
+        corners(mesh.tangents).reshape(-1, 9))
 
     return MeshData(
         nodes_f=jnp.asarray(bvh.nodes_f),

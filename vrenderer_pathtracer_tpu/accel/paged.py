@@ -56,8 +56,12 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
     order = np.argsort(_morton3((centroids - lo) / span), kind="stable")
 
+    from vrenderer_pathtracer_tpu.accel.wide import (
+        build_leaf_packs, collapse_bvh8)
+
     n_pages = -(-len(tris) // page_tris)
     pages_f, pages_i, bboxes = [], [], []
+    pages_8f, pages_8i, pages_8ax, pages_pack = [], [], [], []
     slot_v0 = np.zeros((n_pages * page_tris, 3), np.float32)
     slot_e1 = np.zeros_like(slot_v0)
     slot_e2 = np.zeros_like(slot_v0)
@@ -78,9 +82,11 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         assert r == len(page_tri), "object-only BVH must not duplicate refs"
         base = p * page_tris
         v0 = mesh.verts[ref[:, 0]]
+        e1 = mesh.verts[ref[:, 1]] - v0
+        e2 = mesh.verts[ref[:, 2]] - v0
         slot_v0[base: base + r] = v0
-        slot_e1[base: base + r] = mesh.verts[ref[:, 1]] - v0
-        slot_e2[base: base + r] = mesh.verts[ref[:, 2]] - v0
+        slot_e1[base: base + r] = e1
+        slot_e2[base: base + r] = e2
         for k in range(3):
             slot_n[base: base + r, k] = mesh.normals[ref[:, k]]
             slot_t[base: base + r, k] = mesh.tangents[ref[:, k]]
@@ -89,6 +95,16 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         pv = mesh.verts[page_tri.reshape(-1)]
         bb = np.concatenate([pv.min(axis=0), pv.max(axis=0), [0.0, 0.0]])
         bboxes.append(bb.astype(np.float32))
+        # Per-page 8-wide collapse + leaf packs (global slots baked in).
+        n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
+        n8i, pack, _aux = build_leaf_packs(
+            n8i, v0, e1, e2,
+            slot_uv[base: base + r].reshape(r, 6),
+            slot_t[base: base + r].reshape(r, 9), slot_base=base)
+        pages_8f.append(n8f)
+        pages_8i.append(n8i)
+        pages_8ax.append(n8ax)
+        pages_pack.append(pack)
 
     npp = max(f.shape[0] for f in pages_f)
     npp = -(-npp // 8) * 8  # sublane-align node rows
@@ -106,6 +122,27 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         ni[p, m:, 1] = -1
         ni[p, m:, 3] = -1
 
+    # Wide arrays padded to the page maxima (empty nodes / zero rows).
+    # Child records + sort axis merge into ONE [P, npp8, 17] int array:
+    # per-page SMEM windows are impossible (SMEM windows pad the minor dim
+    # to 128 lanes, x128 the budget), so the kernel scalar-reads these from
+    # a VMEM window instead, and one merged array keeps it to one window.
+    npp8 = -(-max(i8.shape[0] for i8 in pages_8i) // 8) * 8
+    rp8 = max(pk.shape[0] for pk in pages_pack)
+    n8f_all = np.empty((n_pages, npp8 * 8, 8), np.float32)
+    n8f_all[:, :, 0:3] = 3e38
+    n8f_all[:, :, 3:6] = -3e38
+    n8f_all[:, :, 6:8] = 0.0
+    n8i_all = np.zeros((n_pages, npp8, 17), np.int32)
+    n8i_all[:, :, 1:16:2] = -1  # counts: empty
+    pack_all = np.zeros((n_pages, rp8, 16), np.float32)
+    for p in range(n_pages):
+        m = pages_8i[p].shape[0]
+        n8f_all[p, :m * 8] = pages_8f[p]
+        n8i_all[p, :m, :16] = pages_8i[p]
+        n8i_all[p, :m, 16] = pages_8ax[p]
+        pack_all[p, :pages_pack[p].shape[0]] = pages_pack[p]
+
     return MeshData(
         nodes_f=jnp.zeros((1, 12), jnp.float32),   # unused in paged mode
         nodes_i=jnp.zeros((1, 4), jnp.int32),
@@ -120,5 +157,8 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
             nodes_f=jnp.asarray(nf),
             nodes_i=jnp.asarray(ni),
             bbox=jnp.asarray(np.stack(bboxes)),
+            nodes8_f=jnp.asarray(n8f_all),
+            nodes8_i=jnp.asarray(n8i_all),
+            tri_pack=jnp.asarray(pack_all),
         ),
     )

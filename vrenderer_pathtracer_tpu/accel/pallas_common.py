@@ -83,17 +83,17 @@ def make_slab_any(o, inv, t_out):
     return slab_any
 
 
-def root_exit_clamp_wide(o, d, t_max, node_fv):
+def root_exit_clamp_wide(o, d, t_max, root_boxes):
     """root_exit_clamp for the 8-wide layout: root box = union of the root
-    node's child boxes (rows 0..7 of ``node_fv``; empty slots carry
-    inverted boxes and never win)."""
+    node's child boxes (``root_boxes`` = the root's (8,>=6) box block;
+    empty slots carry inverted boxes and never win)."""
     inv = safe_inv(d)
-    lo = [node_fv[0, 0], node_fv[0, 1], node_fv[0, 2]]
-    hi = [node_fv[0, 3], node_fv[0, 4], node_fv[0, 5]]
+    lo = [root_boxes[0, 0], root_boxes[0, 1], root_boxes[0, 2]]
+    hi = [root_boxes[0, 3], root_boxes[0, 4], root_boxes[0, 5]]
     for c in range(1, 8):
         for k in range(3):
-            lo[k] = jnp.minimum(lo[k], node_fv[c, k])
-            hi[k] = jnp.maximum(hi[k], node_fv[c, 3 + k])
+            lo[k] = jnp.minimum(lo[k], root_boxes[c, k])
+            hi[k] = jnp.maximum(hi[k], root_boxes[c, 3 + k])
     tn = jnp.full_like(t_max, -jnp.inf)
     tf = jnp.full_like(t_max, jnp.inf)
     for k in range(3):
@@ -152,10 +152,10 @@ def make_leaf_fn(o, d, t_out, slot_out, tri, slot_base, on_hit=None):
     return leaf
 
 
-def make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win=None):
+def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None):
     """Vector leaf resolver for the 8-aligned ``tri_pack`` layout.
 
-    ``leaf(ref)`` loads rows [ref, ref+8) of ``tri_pack`` as ONE (8,16)
+    ``leaf_blk(ref)`` returns rows [ref, ref+8) of the pack as ONE (8,16)
     vector block — row = (v0, e1, e2, original slot, uv corners) — and
     runs the Möller–Trumbore test 8-triangles x 128-rays per op: ray
     group g is broadcast across sublanes while triangle components
@@ -175,7 +175,7 @@ def make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win=None):
 
     def leaf(ref, count):
         del count  # all 8 rows tested; padding rows are degenerate
-        blk = tri_pack[pl.ds(ref, 8), :]
+        blk = leaf_blk(ref)
         v0 = [blk[:, k:k + 1] for k in range(3)]
         e1 = [blk[:, 3 + k:4 + k] for k in range(3)]
         e2 = [blk[:, 6 + k:7 + k] for k in range(3)]
@@ -230,7 +230,7 @@ def make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win=None):
 
 
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
-                         node_fv, node_i, node_ax, tri_pack, n_nodes,
+                         node_boxes, node_i, node_ax, leaf_blk, n_nodes,
                          on_win=None):
     """8-wide packet traversal (accel/wide.py layout) for one ray block.
 
@@ -248,15 +248,15 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     sign of the block-representative ray direction (lane 0), so no
     block-wide min-reduction is needed.
 
-    ``node_fv`` — the (N*8, >=6) float VMEM ref; ``node_i(n,k)`` k<16 —
-    8 x (ref,count) scalar accessor; ``node_ax(n)`` — sort axis;
-    ``tri_pack`` — the (T8,16) aligned leaf-block VMEM ref (leaf refs in
-    ``node_i`` index THIS space; winners record the original slot stored
-    per row).  The stack must hold ``7*depth+1`` entries (checked at
-    build time against WIDE_STACK_DEPTH).
+    ``node_boxes(n)`` — (8, >=6) vector block of node n's child AABBs;
+    ``node_i(n,k)`` k<16 — 8 x (ref,count) scalar accessor; ``node_ax(n)``
+    — sort axis; ``leaf_blk(ref)`` — (8,16) aligned leaf block (leaf refs
+    in ``node_i`` index THIS space; winners record the original slot
+    stored per row).  The stack must hold ``7*depth+1`` entries (checked
+    at build time against WIDE_STACK_DEPTH).
     """
     inv = safe_inv(d)
-    leaf = make_pack_leaf_fn(o, d, t_out, slot_out, tri_pack, on_win)
+    leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win)
     dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     w_lo = jnp.where(rows < 4, jnp.left_shift(1, 8 * rows), 0)
@@ -272,7 +272,7 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
         refs = [node_i(node, 2 * c) for c in range(8)]
         cnts = [node_i(node, 2 * c + 1) for c in range(8)]
         best = t_out[:]
-        boxes = node_fv[pl.ds(node * 8, 8), :]    # (8, >=6): child boxes
+        boxes = node_boxes(node)                  # (8, >=6): child boxes
         lo = [boxes[:, k:k + 1] for k in range(3)]
         hi = [boxes[:, 3 + k:4 + k] for k in range(3)]
         shape = (8, best.shape[1])

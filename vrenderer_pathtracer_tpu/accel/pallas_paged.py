@@ -28,8 +28,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
-from vrenderer_pathtracer_tpu.accel.pallas_common import make_slab_any, packet_traverse, safe_inv
+from vrenderer_pathtracer_tpu.accel.pallas_common import (
+    make_slab_any, safe_inv, wide_packet_traverse)
+from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
 ROWS = 128        # 16384 rays/block
@@ -37,13 +38,17 @@ COLS = 128
 BLOCK = ROWS * COLS
 
 
-def _kernel(count_ref, perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
-            ox, oy, oz, dx, dy, dz, tmax_ref,
-            slot_out, t_out, stack, *, page_tris):
+def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox,
+            tri_pack, ox, oy, oz, dx, dy, dz, tmax_ref,
+            slot_out, t_out, stack):
     # Per-BLOCK page schedule (round-2): perm_ref[i] lists this ray block's
     # conservatively-reachable pages near-to-far (see _page_schedule);
     # positions past count_ref[i] repeat the last relevant page, so Pallas
     # skips their DMA (unchanged block index) and the body is gated off.
+    # Each reachable page runs the 8-wide packet traversal (accel/wide.py):
+    # vector child-box blocks, child records scalar-read from a VMEM window
+    # (per-page SMEM windows would pad the minor dim to 128 lanes and blow
+    # the 1MB budget), vector leaf blocks with GLOBAL slots baked in.
     blk = pl.program_id(0)
     step = pl.program_id(1)
     page = perm_ref[blk, step]
@@ -76,17 +81,13 @@ def _kernel(count_ref, perm_ref, nodes_f, nodes_i, bbox, tv0, te1, te2,
 
     @pl.when(page_hit & (step < count_ref[blk]))
     def _():
-        packet_traverse(
+        wide_packet_traverse(
             o, d, t_out, slot_out, stack,
-            node_f=lambda n, k: nodes_f[0, n, k],
-            node_i=lambda n, k: nodes_i[0, n, k],
-            tri=lambda s: (
-                (tv0[0, s, 0], tv0[0, s, 1], tv0[0, s, 2]),
-                (te1[0, s, 0], te1[0, s, 1], te1[0, s, 2]),
-                (te2[0, s, 0], te2[0, s, 1], te2[0, s, 2]),
-            ),
-            slot_base=page * page_tris,
-            n_nodes=nodes_i.shape[1],
+            node_boxes=lambda n: nodes8_f[0, pl.ds(n * 8, 8), :],
+            node_i=lambda n, k: nodes8_i[0, n, k],
+            node_ax=lambda n: nodes8_i[0, n, 16],
+            leaf_blk=lambda ref: tri_pack[0, pl.ds(ref, 8), :],
+            n_nodes=nodes8_i.shape[1],
         )
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)  # last page step
@@ -176,8 +177,9 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
     """Two-level paged traversal over [B] rays.  Same contract as
     accel.traverse.traverse: returns (slot [B] int32, t [B] f32)."""
     paged = mesh.paged
-    n_pages, npp, _ = paged.nodes_f.shape
-    page_tris = mesh.tri_v0.shape[0] // n_pages
+    n_pages = paged.nodes8_f.shape[0]
+    npp8 = paged.nodes8_i.shape[1]
+    rp8 = paged.tri_pack.shape[1]
 
     b = ray_o.shape[0]
     pad = (-b) % BLOCK
@@ -205,20 +207,18 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         num_scalar_prefetch=2,
         grid=(nb, n_pages),
         in_specs=[
-            page3((npp, 12)),
-            page3((npp, 4)),
+            page3((npp8 * 8, 8)),                   # wide child boxes
+            page3((npp8, 17)),                      # child records + axis
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox: tiny, whole-array
-            page3((page_tris, 3)),
-            page3((page_tris, 3)),
-            page3((page_tris, 3)),
+            page3((rp8, 16)),                       # vector leaf blocks
             *([ray_spec] * 7),
         ],
         out_specs=(ray_spec, ray_spec),
-        scratch_shapes=[pltpu.SMEM((STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
     )
 
     slot, t = pl.pallas_call(
-        functools.partial(_kernel, page_tris=page_tris),
+        _kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
@@ -233,10 +233,8 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         interpret=interpret,
     )(
         count, perm,
-        paged.nodes_f, paged.nodes_i, paged.bbox,
-        mesh.tri_v0.reshape(n_pages, page_tris, 3),
-        mesh.tri_e1.reshape(n_pages, page_tris, 3),
-        mesh.tri_e2.reshape(n_pages, page_tris, 3),
+        paged.nodes8_f, paged.nodes8_i,
+        paged.bbox, paged.tri_pack,
         comp(ray_o[:, 0]), comp(ray_o[:, 1]), comp(ray_o[:, 2]),
         comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
         comp(t_max),

@@ -101,14 +101,14 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
     slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
-    t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f)
+    t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f[0:8, :])
     wide_packet_traverse(
         o, d,
         t_out, slot_out, stack,
-        node_fv=nodes8_f,
+        node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
         node_i=lambda n, k: nodes8_i[n * 16 + k],
         node_ax=lambda n: nodes8_ax[n],
-        tri_pack=tri_pack,
+        leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
         n_nodes=nodes8_i.shape[0] // 16,
     )
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])

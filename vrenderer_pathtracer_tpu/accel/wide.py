@@ -135,3 +135,47 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
             f"BVH8 depth {max_depth} needs stack {7 * max_depth + 1} > "
             f"{WIDE_STACK_DEPTH}; rebuild with a shallower tree")
     return nodes8_f, nodes8_i, nodes8_ax, max_depth
+
+
+def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
+    """8-aligned leaf blocks for the vector leaf phase.
+
+    Rewrites the leaf refs of ``n8i`` (returned as a copy) to index a
+    freshly-built pack where every leaf's MAX_LEAF slots start at a
+    multiple of 8, so the kernel fetches a whole leaf as ONE (8,16)
+    vector block.  Pack row = (v0[3], e1[3], e2[3], slot_base+slot,
+    uv corners[6]); aux row = (tangent corners[9], zeros).  Zero padding
+    rows are degenerate (det 0) and never hit.
+
+    ``v0/e1/e2`` are [R,3] leaf-ordered triangle data, ``uvs6`` [R,6] uv
+    corners, ``tans9`` [R,9] tangent corners; ``slot_base`` offsets the
+    recorded winner slots (paged meshes use page*page_tris).
+    """
+    pack_rows = []
+    aux_rows = []
+    n8i = n8i.copy()
+    for w in range(n8i.shape[0]):
+        for c in range(8):
+            ref, cnt = n8i[w, 2 * c], n8i[w, 2 * c + 1]
+            if cnt > 0:
+                n8i[w, 2 * c] = len(pack_rows)
+                for j in range(cnt):
+                    s = ref + j
+                    row = np.zeros(16, np.float32)
+                    row[0:3] = v0[s]
+                    row[3:6] = e1[s]
+                    row[6:9] = e2[s]
+                    row[9] = float(slot_base + s)
+                    row[10:16] = uvs6[s]
+                    pack_rows.append(row)
+                    arow = np.zeros(16, np.float32)
+                    arow[0:9] = tans9[s]
+                    aux_rows.append(arow)
+                while len(pack_rows) % 8:
+                    pack_rows.append(np.zeros(16, np.float32))
+                    aux_rows.append(np.zeros(16, np.float32))
+    tri_pack = (np.stack(pack_rows) if pack_rows
+                else np.zeros((8, 16), np.float32))
+    aux_pack = (np.stack(aux_rows) if aux_rows
+                else np.zeros((8, 16), np.float32))
+    return n8i, tri_pack, aux_pack

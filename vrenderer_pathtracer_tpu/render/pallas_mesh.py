@@ -376,7 +376,7 @@ def _kernel(cam, spheres, streams, *rest,
                 # attrs captured at win time from the vector leaf blocks ---
                 slot_scr[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
                 t_scr[:] = root_exit_clamp_wide(
-                    (ox, oy, oz), (dx, dy, dz), best_t, nodes8_f)
+                    (ox, oy, oz), (dx, dy, dz), best_t, nodes8_f[0:8, :])
 
                 def on_win(g, ref, win, select, blk, bu, bv):
                     shape = (8, COLS)
@@ -422,10 +422,10 @@ def _kernel(cam, spheres, streams, *rest,
 
                 wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
-                    node_fv=nodes8_f,
+                    node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
                     node_i=lambda n, k: nodes8_i[n * 16 + k],
                     node_ax=lambda n: nodes8_ax[n],
-                    tri_pack=tri_pack,
+                    leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
                     n_nodes=nodes8_i.shape[0] // 16,
                     on_win=on_win,
                 )

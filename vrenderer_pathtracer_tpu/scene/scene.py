@@ -34,6 +34,12 @@ class PagedNodes(NamedTuple):
     nodes_f: jnp.ndarray  # [Pg, Npp, 12] float32 — per-page child AABBs
     nodes_i: jnp.ndarray  # [Pg, Npp, 4]  int32
     bbox: jnp.ndarray     # [Pg, 8] float32 — page lo.xyz, hi.xyz, pad
+    # Per-page 8-wide collapse (accel/wide.py) for the wide paged kernel;
+    # tri_pack rows store GLOBAL slots (page*page_tris baked in).
+    # nodes8_i row = 8 x (ref, count) + sort axis in col 16.
+    nodes8_f: Optional[jnp.ndarray] = None   # [Pg, Npp8*8, 8] float32
+    nodes8_i: Optional[jnp.ndarray] = None   # [Pg, Npp8, 17] int32
+    tri_pack: Optional[jnp.ndarray] = None   # [Pg, Rp8, 16] float32
 
 
 class MeshData(NamedTuple):
