@@ -20,7 +20,7 @@ from vrenderer_pathtracer_tpu.accel.traverse import brute_force
 def test_paged_matches_brute_force(page_tris):
     host = _soup(900, seed=3, extent=40.0)
     mesh = pack_mesh_paged(host, page_tris=page_tris)
-    assert mesh.paged.nodes_f.shape[0] == -(-900 // page_tris)
+    assert mesh.paged.nodes8_f.shape[0] == -(-900 // page_tris)
     o1, d1 = _rays(1024, seed=4)
     o2, d2 = _aimed_rays(host, 1024, seed=5)
     o = jnp.concatenate([o1, o2])
@@ -44,7 +44,7 @@ def test_page_structure():
     host = _soup(700, seed=9, extent=25.0)
     mesh = pack_mesh_paged(host, page_tris=256)
     pg = mesh.paged
-    n_pages = pg.nodes_f.shape[0]
+    n_pages = pg.nodes8_f.shape[0]
     page_tris = mesh.tri_v0.shape[0] // n_pages
     v0 = np.asarray(mesh.tri_v0)
     e1 = np.asarray(mesh.tri_e1)

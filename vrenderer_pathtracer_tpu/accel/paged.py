@@ -60,7 +60,7 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         build_leaf_packs, collapse_bvh8)
 
     n_pages = -(-len(tris) // page_tris)
-    pages_f, pages_i, bboxes = [], [], []
+    bboxes = []
     pages_8f, pages_8i, pages_8ax, pages_pack = [], [], [], []
     slot_v0 = np.zeros((n_pages * page_tris, 3), np.float32)
     slot_e1 = np.zeros_like(slot_v0)
@@ -75,8 +75,6 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         page_tri = tris[sel]
         bvh = build_sbvh(mesh.verts, page_tri, allow_spatial=False)
         _check_stack_bound(bvh.max_depth)
-        pages_f.append(bvh.nodes_f)
-        pages_i.append(bvh.nodes_i)
         ref = page_tri[bvh.tri_order]  # [R,3] vertex ids, page-local order
         r = len(ref)
         assert r == len(page_tri), "object-only BVH must not duplicate refs"
@@ -106,42 +104,27 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         pages_8ax.append(n8ax)
         pages_pack.append(pack)
 
-    npp = max(f.shape[0] for f in pages_f)
-    npp = -(-npp // 8) * 8  # sublane-align node rows
-    nf = np.zeros((n_pages, npp, 12), np.float32)
-    ni = np.zeros((n_pages, npp, 4), np.int32)
-    for p in range(n_pages):
-        m = pages_f[p].shape[0]
-        nf[p, :m] = pages_f[p]
-        ni[p, :m] = pages_i[p]
-        # Padding rows: children marked empty with inverted boxes.
-        nf[p, m:, 0:3] = 1.0
-        nf[p, m:, 3:6] = -1.0
-        nf[p, m:, 6:9] = 1.0
-        nf[p, m:, 9:12] = -1.0
-        ni[p, m:, 1] = -1
-        ni[p, m:, 3] = -1
-
-    # Wide arrays padded to the page maxima (empty nodes / zero rows).
-    # Child records + sort axis merge into ONE [P, npp8, 17] int array:
-    # per-page SMEM windows are impossible (SMEM windows pad the minor dim
-    # to 128 lanes, x128 the budget), so the kernel scalar-reads these from
-    # a VMEM window instead, and one merged array keeps it to one window.
+    # Wide arrays padded to the page maxima (empty nodes / zero rows) AND
+    # to 128 lanes in the minor dim.  The lane padding costs nothing extra
+    # on device — XLA stores (…, 8)/(…, 17) arrays in lane-padded (8,128)
+    # tiles anyway — but making it explicit lets the paged kernel's manual
+    # ``make_async_copy`` DMAs slice whole pages (Mosaic requires HBM slice
+    # minor dims tile-aligned).  Child records + sort axis share one int
+    # array: row n = 8 x (ref, count), axis at col 16.
     npp8 = -(-max(i8.shape[0] for i8 in pages_8i) // 8) * 8
     rp8 = max(pk.shape[0] for pk in pages_pack)
-    n8f_all = np.empty((n_pages, npp8 * 8, 8), np.float32)
+    n8f_all = np.zeros((n_pages, npp8 * 8, 128), np.float32)
     n8f_all[:, :, 0:3] = 3e38
     n8f_all[:, :, 3:6] = -3e38
-    n8f_all[:, :, 6:8] = 0.0
-    n8i_all = np.zeros((n_pages, npp8, 17), np.int32)
+    n8i_all = np.zeros((n_pages, npp8, 128), np.int32)
     n8i_all[:, :, 1:16:2] = -1  # counts: empty
-    pack_all = np.zeros((n_pages, rp8, 16), np.float32)
+    pack_all = np.zeros((n_pages, rp8, 128), np.float32)
     for p in range(n_pages):
         m = pages_8i[p].shape[0]
-        n8f_all[p, :m * 8] = pages_8f[p]
+        n8f_all[p, :m * 8, :8] = pages_8f[p]
         n8i_all[p, :m, :16] = pages_8i[p]
         n8i_all[p, :m, 16] = pages_8ax[p]
-        pack_all[p, :pages_pack[p].shape[0]] = pages_pack[p]
+        pack_all[p, :pages_pack[p].shape[0], :16] = pages_pack[p]
 
     return MeshData(
         nodes_f=jnp.zeros((1, 12), jnp.float32),   # unused in paged mode
@@ -154,8 +137,6 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         tri_uv=jnp.asarray(slot_uv),
         tri_count=jnp.int32(total_refs),
         paged=PagedNodes(
-            nodes_f=jnp.asarray(nf),
-            nodes_i=jnp.asarray(ni),
             bbox=jnp.asarray(np.stack(bboxes)),
             nodes8_f=jnp.asarray(n8f_all),
             nodes8_i=jnp.asarray(n8i_all),

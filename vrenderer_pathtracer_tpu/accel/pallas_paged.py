@@ -1,22 +1,29 @@
 """Paged Pallas traversal: two-level packet tracing for huge meshes.
 
 Companion to pallas_traverse.py for meshes that exceed VMEM (BASELINE
-config 5, ~500k tris).  The Pallas grid is ``(ray_blocks, pages)`` with the
-page dimension fastest: each program gets one VMEM-resident block of rays
-(kept across the page sweep — the output BlockSpec ignores the page index,
-so Pallas leaves the best-hit block in VMEM) and one page's node/triangle
-arrays, which the Pallas pipeline streams HBM -> VMEM double-buffered at
-full bandwidth while the previous page is being traversed.
+config 5, ~500k tris).  Re-derives the role of the reference's single-level
+CUDA traversal at 100k+ tris (``cuda/src/PathTracer.cu:269-463``) for a
+memory system where the scene cannot sit next to the compute: pages of
+~4k triangles (Morton-ordered, object-split SBVH per page) stream
+HBM -> VMEM on demand, per ray block.
 
-Per (block, page) step: if no lane can hit the page bbox within its current
-best t, the page is skipped outright (the top level of the two-level BVH);
-otherwise the page-local object-split BVH is packet-traversed exactly like
-the single-level kernel.  Winning slots are globalized as
-``page * page_tris + local`` so the shading gather path is unchanged.
+Round-2 redesign: the Pallas grid is 1-D over 1024-ray blocks (8x128 — one
+VPU tile, the same block the single-level kernel uses), and each block runs
+a DYNAMIC page loop: a host-computed conservative schedule (count, perm)
+lists the pages each block's ray frustum can reach, near-to-far, and the
+kernel double-buffers page data through VMEM scratch with explicit
+``make_async_copy`` DMAs — page i+1 streams while page i is traversed.
+Blocks therefore pay exactly for the pages they touch, not for a static
+(blocks x pages) sweep.  The earlier 16k-ray variant made every BVH-node
+visit cost 128 vector groups and collapsed the block any-hit vote (one
+outlier lane dragged 16k rays through the tree); 1024-ray pixel-tile
+blocks keep both local.
 
-Traffic model: rays stay resident; page data is streamed once per ray
-block.  With 16k-ray blocks a 500k-tri mesh (~30MB of pages) costs
-~2MB of HBM reads per 1k rays per bounce — bandwidth, not latency, bound.
+Per page the block runs the same 8-wide packet traversal as the
+single-level kernel (``pallas_common.wide_packet_traverse``): vector
+child-box blocks, vector leaf blocks, child records scalar-read from VMEM.
+Winning slots are global (``page * page_tris + local`` is baked into the
+leaf packs) so the shading gather path is unchanged.
 """
 
 from __future__ import annotations
@@ -25,6 +32,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -33,67 +41,87 @@ from vrenderer_pathtracer_tpu.accel.pallas_common import (
 from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
-ROWS = 128        # 16384 rays/block
+ROWS = 8          # 1024 rays/block: one f32 VPU tile
 COLS = 128
 BLOCK = ROWS * COLS
 
 
-def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox,
-            tri_pack, ox, oy, oz, dx, dy, dz, tmax_ref,
-            slot_out, t_out, stack):
-    # Per-BLOCK page schedule (round-2): perm_ref[i] lists this ray block's
-    # conservatively-reachable pages near-to-far (see _page_schedule);
-    # positions past count_ref[i] repeat the last relevant page, so Pallas
-    # skips their DMA (unchanged block index) and the body is gated off.
-    # Each reachable page runs the 8-wide packet traversal (accel/wide.py):
-    # vector child-box blocks, child records scalar-read from a VMEM window
-    # (per-page SMEM windows would pad the minor dim to 128 lanes and blow
-    # the 1MB budget), vector leaf blocks with GLOBAL slots baked in.
+def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
+            ox, oy, oz, dx, dy, dz, tmax_ref,
+            slot_out, t_out, buf_f, buf_i, buf_p, sem, stack):
     blk = pl.program_id(0)
-    step = pl.program_id(1)
-    page = perm_ref[blk, step]
-
+    cnt = count_ref[blk]
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
+    inv = safe_inv(d)
 
-    @pl.when(step == 0)  # first page STEP for this ray block
-    def _():
-        slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
-        # Clamp search bounds to the global mesh-box exit (see
-        # pallas_common.root_exit_clamp): miss lanes go silent instead of
-        # dragging every page in.
-        inv = safe_inv(d)
-        tn = jnp.full((ROWS, COLS), -jnp.inf, jnp.float32)
-        tf = jnp.full((ROWS, COLS), jnp.inf, jnp.float32)
-        for k in range(3):
-            glo = jnp.min(bbox[:, k])
-            ghi = jnp.max(bbox[:, 3 + k])
-            t0 = (glo - o[k]) * inv[k]
-            t1 = (ghi - o[k]) * inv[k]
-            tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-            tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-        hit_root = jnp.maximum(tn, 0.0) <= tf
-        bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
-        t_out[:] = jnp.minimum(tmax_ref[:], bound)
-    slab_any = make_slab_any(o, safe_inv(d), t_out)
-    page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
-                           bbox[page, 3], bbox[page, 4], bbox[page, 5])
+    slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
+    # Clamp search bounds to the global mesh-box exit (see
+    # pallas_common.root_exit_clamp): miss lanes go silent instead of
+    # dragging the block through every page.
+    tn = jnp.full((ROWS, COLS), -jnp.inf, jnp.float32)
+    tf = jnp.full((ROWS, COLS), jnp.inf, jnp.float32)
+    for k in range(3):
+        glo = jnp.min(bbox[:, k])
+        ghi = jnp.max(bbox[:, 3 + k])
+        t0 = (glo - o[k]) * inv[k]
+        t1 = (ghi - o[k]) * inv[k]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit_root = jnp.maximum(tn, 0.0) <= tf
+    bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
+    t_out[:] = jnp.minimum(tmax_ref[:], bound)
 
-    @pl.when(page_hit & (step < count_ref[blk]))
-    def _():
-        wide_packet_traverse(
-            o, d, t_out, slot_out, stack,
-            node_boxes=lambda n: nodes8_f[0, pl.ds(n * 8, 8), :],
-            node_i=lambda n, k: nodes8_i[0, n, k],
-            node_ax=lambda n: nodes8_i[0, n, 16],
-            leaf_blk=lambda ref: tri_pack[0, pl.ds(ref, 8), :],
-            n_nodes=nodes8_i.shape[1],
+    def dmas(slot, page):
+        return (
+            pltpu.make_async_copy(nodes8_f.at[page], buf_f.at[slot],
+                                  sem.at[slot, 0]),
+            pltpu.make_async_copy(nodes8_i.at[page], buf_i.at[slot],
+                                  sem.at[slot, 1]),
+            pltpu.make_async_copy(tri_pack.at[page], buf_p.at[slot],
+                                  sem.at[slot, 2]),
         )
 
-    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)  # last page step
+    @pl.when(cnt > 0)
     def _():
-        # Report the caller's t_max on miss lanes (contract of traverse()).
-        t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
+        for c in dmas(0, perm_ref[blk, 0]):
+            c.start()
+
+    slab_any = make_slab_any(o, inv, t_out)
+
+    def body(i, _):
+        slot = lax.rem(i, 2)
+        page = perm_ref[blk, i]
+
+        @pl.when(i + 1 < cnt)  # prefetch the next page into the other slot
+        def _():
+            for c in dmas(lax.rem(i + 1, 2), perm_ref[blk, i + 1]):
+                c.start()
+
+        for c in dmas(slot, page):
+            c.wait()
+
+        # The schedule is conservative (interval frustum); the exact
+        # per-lane slab test against the page box still gates pages whose
+        # reachable interval no lane can meet within its current best t.
+        page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
+                               bbox[page, 3], bbox[page, 4], bbox[page, 5])
+
+        @pl.when(page_hit)
+        def _():
+            wide_packet_traverse(
+                o, d, t_out, slot_out, stack,
+                node_boxes=lambda n: buf_f[slot, pl.ds(n * 8, 8), :],
+                node_i=lambda n, k: buf_i[slot, n, k],
+                node_ax=lambda n: buf_i[slot, n, 16],
+                leaf_blk=lambda ref: buf_p[slot, pl.ds(ref, 8), :],
+                n_nodes=buf_i.shape[1],
+            )
+        return 0
+
+    lax.fori_loop(0, cnt, body, 0, unroll=False)
+    # Report the caller's t_max on miss lanes (contract of traverse()).
+    t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
 
 def _page_schedule(paged, ray_o, ray_d, t_max, nb):
@@ -112,8 +140,7 @@ def _page_schedule(paged, ray_o, ray_d, t_max, nb):
     correlation a reach-box test loses) and conservative otherwise.
 
     Returns ``(count [nb] int32, perm [nb, Pg] int32)`` where positions
-    past ``count`` repeat the last reachable page id (so the Pallas
-    pipeline sees an unchanged block index and skips the copy).
+    past ``count`` repeat the last reachable page id.
     """
     big = jnp.float32(3e38)
     o = ray_o.reshape(nb, BLOCK, 3)
@@ -172,16 +199,34 @@ def _page_schedule(paged, ray_o, ray_d, t_max, nb):
     return count, perm
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "image_shape"))
+def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
+                   image_shape=None):
     """Two-level paged traversal over [B] rays.  Same contract as
-    accel.traverse.traverse: returns (slot [B] int32, t [B] f32)."""
+    accel.traverse.traverse: returns (slot [B] int32, t [B] f32).
+
+    ``image_shape=(h, w)``: rays are raster-ordered frames; blocks are
+    remapped to compact 32x32 pixel tiles (pallas_traverse._tile_remap),
+    which tightens each block's frustum — fewer reachable pages per block
+    AND a tighter any-hit vote inside each page.
+    """
+    from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+        TILE, _tile_remap)
+
     paged = mesh.paged
     n_pages = paged.nodes8_f.shape[0]
     npp8 = paged.nodes8_i.shape[1]
     rp8 = paged.tri_pack.shape[1]
 
     b = ray_o.shape[0]
+    tiled = (image_shape is not None
+             and b % (image_shape[0] * image_shape[1]) == 0
+             and image_shape[0] % TILE == 0 and image_shape[1] % TILE == 0)
+    if tiled:
+        h, w = image_shape
+        ray_o = _tile_remap(ray_o, h, w)
+        ray_d = _tile_remap(ray_d, h, w)
+        t_max = _tile_remap(t_max, h, w)
     pad = (-b) % BLOCK
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
@@ -196,25 +241,29 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
 
     # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
-        (ROWS, COLS), lambda i, p, cnt, perm: (i, 0), memory_space=pltpu.VMEM
-    )
-    page3 = lambda shape: pl.BlockSpec(  # noqa: E731
-        (1,) + shape, lambda i, p, cnt, perm: (perm[i, p],) + (0,) * len(shape),
-        memory_space=pltpu.VMEM,
-    )
+        (ROWS, COLS), lambda i, cnt, perm: (i, 0), memory_space=pltpu.VMEM)
+    # Page arrays stay in HBM (ANY); the kernel streams them per block
+    # with double-buffered DMAs into the VMEM scratch below.
+    hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(nb, n_pages),
+        num_scalar_prefetch=2,      # count [nb], perm [nb, Pg] — SMEM
+        grid=(nb,),
         in_specs=[
-            page3((npp8 * 8, 8)),                   # wide child boxes
-            page3((npp8, 17)),                      # child records + axis
+            hbm_spec,                               # wide child boxes
+            hbm_spec,                               # child records + axis
             pl.BlockSpec(memory_space=pltpu.VMEM),  # bbox: tiny, whole-array
-            page3((rp8, 16)),                       # vector leaf blocks
+            hbm_spec,                               # vector leaf blocks
             *([ray_spec] * 7),
         ],
         out_specs=(ray_spec, ray_spec),
-        scratch_shapes=[pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32)],
+        scratch_shapes=[
+            pltpu.VMEM((2, npp8 * 8, 128), jnp.float32),  # page node boxes
+            pltpu.VMEM((2, npp8, 128), jnp.int32),        # child records
+            pltpu.VMEM((2, rp8, 128), jnp.float32),       # leaf blocks
+            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32),
+        ],
     )
 
     slot, t = pl.pallas_call(
@@ -224,6 +273,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
             jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.float32),
         ),
+        name="traverse_paged",
         # The surrounding XLA program pins extra buffers in VMEM when this
         # kernel is embedded in the full render step; raise the scoped
         # limit above the 16MB default (v5e has headroom) so both fit.
@@ -239,4 +289,9 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False):
         comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
         comp(t_max),
     )
-    return slot.reshape(-1)[:b], t.reshape(-1)[:b]
+    slot = slot.reshape(-1)[:b]
+    t = t.reshape(-1)[:b]
+    if tiled:
+        slot = _tile_remap(slot, h, w, inverse=True)
+        t = _tile_remap(t, h, w, inverse=True)
+    return slot, t

@@ -297,6 +297,7 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
         search = functools.partial(
             traverse_paged,
             interpret=settings.traversal.endswith("interpret"),
+            image_shape=(settings.height, settings.width),
         )
     else:
         search = traverse

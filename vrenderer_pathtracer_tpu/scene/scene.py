@@ -26,20 +26,20 @@ class PagedNodes(NamedTuple):
     """Two-level acceleration arrays for VMEM-exceeding meshes.
 
     Triangles are Morton-clustered into fixed-size pages, each with its own
-    object-split BVH (accel/paged.py); the Pallas paged kernel streams page
-    arrays HBM -> VMEM through the pipelined grid.  ``nodes_i`` leaf
-    references are PAGE-LOCAL; global slot = page * page_tris + local.
+    object-split BVH collapsed to the 8-wide layout (accel/paged.py); the
+    Pallas paged kernel double-buffers page arrays HBM -> VMEM with manual
+    DMAs.  ``tri_pack`` rows store GLOBAL slots (page*page_tris baked in);
+    ``nodes8_i`` row = 8 x (ref, count) + sort axis in col 16.  Minor dims
+    are lane-padded to 128 so the kernel's page DMAs can slice whole pages
+    (Mosaic requires HBM slice minor dims tile-aligned); cols past the
+    payload are zero — which costs nothing extra on device, XLA lane-pads
+    narrow arrays into (8,128) tiles anyway.
     """
 
-    nodes_f: jnp.ndarray  # [Pg, Npp, 12] float32 — per-page child AABBs
-    nodes_i: jnp.ndarray  # [Pg, Npp, 4]  int32
     bbox: jnp.ndarray     # [Pg, 8] float32 — page lo.xyz, hi.xyz, pad
-    # Per-page 8-wide collapse (accel/wide.py) for the wide paged kernel;
-    # tri_pack rows store GLOBAL slots (page*page_tris baked in).
-    # nodes8_i row = 8 x (ref, count) + sort axis in col 16.
-    nodes8_f: Optional[jnp.ndarray] = None   # [Pg, Npp8*8, 8] float32
-    nodes8_i: Optional[jnp.ndarray] = None   # [Pg, Npp8, 17] int32
-    tri_pack: Optional[jnp.ndarray] = None   # [Pg, Rp8, 16] float32
+    nodes8_f: jnp.ndarray  # [Pg, Npp8*8, 128] float32 (boxes in cols 0:8)
+    nodes8_i: jnp.ndarray  # [Pg, Npp8, 128] int32 (records in cols 0:17)
+    tri_pack: jnp.ndarray  # [Pg, Rp8, 128] float32 (rows in cols 0:16)
 
 
 class MeshData(NamedTuple):
