@@ -56,12 +56,11 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     span = np.maximum(centroids.max(axis=0) - lo, 1e-12)
     order = np.argsort(_morton3((centroids - lo) / span), kind="stable")
 
-    from vrenderer_pathtracer_tpu.accel.wide import (
-        build_leaf_packs, collapse_bvh8)
+    from vrenderer_pathtracer_tpu.accel.wide import build_dense_page
 
     n_pages = -(-len(tris) // page_tris)
     bboxes = []
-    pages_8f, pages_8i, pages_8ax, pages_pack = [], [], [], []
+    pages_8f, pages_8i, pages_pack = [], [], []
     slot_v0 = np.zeros((n_pages * page_tris, 3), np.float32)
     slot_e1 = np.zeros_like(slot_v0)
     slot_e2 = np.zeros_like(slot_v0)
@@ -93,15 +92,13 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         pv = mesh.verts[page_tri.reshape(-1)]
         bb = np.concatenate([pv.min(axis=0), pv.max(axis=0), [0.0, 0.0]])
         bboxes.append(bb.astype(np.float32))
-        # Per-page 8-wide collapse + leaf packs (global slots baked in).
-        n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
-        n8i, pack, _aux = build_leaf_packs(
-            n8i, v0, e1, e2,
-            slot_uv[base: base + r].reshape(r, 6),
-            slot_t[base: base + r].reshape(r, 9), slot_base=base)
+        # Per-page dense 8-wide layout (accel/wide.py build_dense_page):
+        # 8-tri sub-blocks under leaf-parent nodes, global slots baked in.
+        n8i, n8f, pack, _ = build_dense_page(
+            v0, e1, e2,
+            slot_uv[base: base + r].reshape(r, 6), slot_base=base)
         pages_8f.append(n8f)
         pages_8i.append(n8i)
-        pages_8ax.append(n8ax)
         pages_pack.append(pack)
 
     # Wide arrays padded to the page maxima (empty nodes / zero rows) AND
@@ -122,9 +119,8 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     for p in range(n_pages):
         m = pages_8i[p].shape[0]
         n8f_all[p, :m * 8, :8] = pages_8f[p]
-        n8i_all[p, :m, :16] = pages_8i[p]
-        n8i_all[p, :m, 16] = pages_8ax[p]
-        pack_all[p, :pages_pack[p].shape[0], :16] = pages_pack[p]
+        n8i_all[p, :m, :18] = pages_8i[p]
+        pack_all[p, :pages_pack[p].shape[0]] = pages_pack[p]
 
     return MeshData(
         nodes_f=jnp.zeros((1, 12), jnp.float32),   # unused in paged mode

@@ -171,11 +171,23 @@ def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None):
     leaf's (8,16) block, and the (8,C) barycentrics; the fused radiance
     kernel uses it to capture shading attributes at win time.
     """
-    n_groups = o[0].shape[0]
+    test = make_pack_test_fn(o, d, t_out, slot_out, on_win)
 
     def leaf(ref, count):
         del count  # all 8 rows tested; padding rows are degenerate
-        blk = leaf_blk(ref)
+        test(leaf_blk(ref), ref)
+
+    return leaf
+
+
+def make_pack_test_fn(o, d, t_out, slot_out, on_win=None):
+    """Möller–Trumbore test of one (8, >=16) triangle block against all
+    ray groups, updating the best hit in place (the vector core of
+    :func:`make_pack_leaf_fn`; the dense paged layout calls it directly
+    with statically lane-sliced sub-blocks)."""
+    n_groups = o[0].shape[0]
+
+    def test(blk, ref):
         v0 = [blk[:, k:k + 1] for k in range(3)]
         e1 = [blk[:, 3 + k:4 + k] for k in range(3)]
         e2 = [blk[:, 6 + k:7 + k] for k in range(3)]
@@ -226,11 +238,12 @@ def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None):
             if on_win is not None:
                 on_win(g, ref, win, select, blk, u, v)
 
-    return leaf
+    return test
 
 
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
-                         node_boxes, node_i, node_ax, leaf_blk, n_nodes,
+                         node_boxes, node_i, node_ax, n_nodes,
+                         leaf_blk=None, node_lp=None, dense_pack=None,
                          on_win=None):
     """8-wide packet traversal (accel/wide.py layout) for one ray block.
 
@@ -250,13 +263,28 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
 
     ``node_boxes(n)`` — (8, >=6) vector block of node n's child AABBs;
     ``node_i(n,k)`` k<16 — 8 x (ref,count) scalar accessor; ``node_ax(n)``
-    — sort axis; ``leaf_blk(ref)`` — (8,16) aligned leaf block (leaf refs
-    in ``node_i`` index THIS space; winners record the original slot
-    stored per row).  The stack must hold ``7*depth+1`` entries (checked
-    at build time against WIDE_STACK_DEPTH).
+    — sort axis.  The stack must hold ``7*depth+1`` entries (checked at
+    build time against WIDE_STACK_DEPTH).
+
+    Leaf layouts (exactly one must be given):
+    - ``leaf_blk(ref)`` — (8,16) aligned leaf block (leaf refs in
+      ``node_i`` index THIS space; winners record the original slot
+      stored per row).
+    - ``node_lp(n)`` + ``dense_pack`` — the DENSE layout
+      (accel/wide.py build_dense_page): nodes flagged by ``node_lp`` are
+      leaf-parents whose child j is sub-block j of pack row-group
+      ``node_i(n, 0)``, extracted with a STATIC lane slice — the layout
+      that lets page DMAs move zero padding.  Leaf order within a node
+      is irrelevant (its any-hit bits are already fixed), so the static
+      position j needs no near-to-far flip.
     """
     inv = safe_inv(d)
-    leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win)
+    dense = node_lp is not None
+    if dense:
+        assert on_win is None, "dense leaf layout has no on_win hook yet"
+        test = make_pack_test_fn(o, d, t_out, slot_out)
+    else:
+        leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win)
     dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     w_lo = jnp.where(rows < 4, jnp.left_shift(1, 8 * rows), 0)
@@ -296,15 +324,27 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
         bits = [(jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0 for c in range(4)] \
             + [(jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0 for c in range(4)]
 
-        # Leaves near-to-far (build order is ascending along the axis).
-        for j in range(8):
-            b = jnp.where(neg, bits[7 - j], bits[j])
-            ref = jnp.where(neg, refs[7 - j], refs[j])
-            cnt = jnp.where(neg, cnts[7 - j], cnts[j])
+        if dense:
+            # Leaf-parent: child j IS sub-block j of pack row-group grp —
+            # its lane offset 16*j is static, which is what permits the
+            # zero-padding pack (Mosaic has no dynamic lane slicing).
+            is_lp = node_lp(node) != 0
+            grp = refs[0]
+            for j in range(8):
+                @pl.when(is_lp & bits[j] & (cnts[j] > 0))
+                def _(j=j, grp=grp):
+                    test(dense_pack[pl.ds(grp * 8, 8),
+                                    16 * j: 16 * j + 16], grp * 8)
+        else:
+            # Leaves near-to-far (build order is ascending along the axis).
+            for j in range(8):
+                b = jnp.where(neg, bits[7 - j], bits[j])
+                ref = jnp.where(neg, refs[7 - j], refs[j])
+                cnt = jnp.where(neg, cnts[7 - j], cnts[j])
 
-            @pl.when(b & (cnt > 0))
-            def _(ref=ref, cnt=cnt):
-                leaf(ref, cnt)
+                @pl.when(b & (cnt > 0))
+                def _(ref=ref, cnt=cnt):
+                    leaf(ref, cnt)
 
         # Inner pushes far-to-near, so the near child pops first.  Writes
         # are unconditional select(push, ...) RMWs — no scalar branches.

@@ -48,7 +48,7 @@ BLOCK = ROWS * COLS
 
 def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             ox, oy, oz, dx, dy, dz, tmax_ref,
-            slot_out, t_out, buf_f, buf_i, buf_p, sem, stack):
+            slot_out, t_out, buf_f, buf_i, buf_p, sem, stack, started):
     blk = pl.program_id(0)
     cnt = count_ref[blk]
     o = (ox[:], oy[:], oz[:])
@@ -82,12 +82,30 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
                                   sem.at[slot, 2]),
         )
 
+    slab_any = make_slab_any(o, inv, t_out)
+
+    def page_live(page):
+        """Exact per-lane slab test vs the page box and CURRENT best t.
+
+        The host schedule is conservative (interval frustum, no occlusion);
+        this gate — run just before each DMA start — also exploits the
+        near-to-far page order: once every lane holds a hit closer than a
+        page's entry, that page's DMA never starts.  Skipping on the
+        current t is safe: t only shrinks, so a skipped page stays dead.
+        """
+        hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
+                          bbox[page, 3], bbox[page, 4], bbox[page, 5])
+        return hit
+
     @pl.when(cnt > 0)
     def _():
-        for c in dmas(0, perm_ref[blk, 0]):
-            c.start()
+        live = page_live(perm_ref[blk, 0])
+        started[0] = live.astype(jnp.int32)
 
-    slab_any = make_slab_any(o, inv, t_out)
+        @pl.when(live)
+        def _():
+            for c in dmas(0, perm_ref[blk, 0]):
+                c.start()
 
     def body(i, _):
         slot = lax.rem(i, 2)
@@ -95,26 +113,33 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
 
         @pl.when(i + 1 < cnt)  # prefetch the next page into the other slot
         def _():
-            for c in dmas(lax.rem(i + 1, 2), perm_ref[blk, i + 1]):
-                c.start()
+            nxt = perm_ref[blk, i + 1]
+            live = page_live(nxt)
+            started[lax.rem(i + 1, 2)] = live.astype(jnp.int32)
 
-        for c in dmas(slot, page):
-            c.wait()
+            @pl.when(live)
+            def _():
+                for c in dmas(lax.rem(i + 1, 2), nxt):
+                    c.start()
 
-        # The schedule is conservative (interval frustum); the exact
-        # per-lane slab test against the page box still gates pages whose
-        # reachable interval no lane can meet within its current best t.
-        page_hit, _ = slab_any(bbox[page, 0], bbox[page, 1], bbox[page, 2],
-                               bbox[page, 3], bbox[page, 4], bbox[page, 5])
+        @pl.when(started[slot] != 0)
+        def _():
+            for c in dmas(slot, page):
+                c.wait()
 
-        @pl.when(page_hit)
+        # Re-check with the (possibly tighter) current t before paying the
+        # traversal.
+        page_hit = page_live(page)
+
+        @pl.when((started[slot] != 0) & page_hit)
         def _():
             wide_packet_traverse(
                 o, d, t_out, slot_out, stack,
                 node_boxes=lambda n: buf_f[slot, pl.ds(n * 8, 8), :],
                 node_i=lambda n, k: buf_i[slot, n, k],
                 node_ax=lambda n: buf_i[slot, n, 16],
-                leaf_blk=lambda ref: buf_p[slot, pl.ds(ref, 8), :],
+                node_lp=lambda n: buf_i[slot, n, 17],
+                dense_pack=buf_p.at[slot],
                 n_nodes=buf_i.shape[1],
             )
         return 0
@@ -263,6 +288,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
             pltpu.VMEM((2, rp8, 128), jnp.float32),       # leaf blocks
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32),
+            pltpu.SMEM((2,), jnp.int32),   # per-slot DMA-started flags
         ],
     )
 

@@ -137,6 +137,205 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
     return nodes8_f, nodes8_i, nodes8_ax, max_depth
 
 
+def sweep_sah_boxes(lo: np.ndarray, hi: np.ndarray):
+    """Binary sweep-SAH BVH over [N] prim boxes (numpy host build).
+
+    Same node encoding as the native SBVH (``csrc/sbvh.cc``): ``nodes_f``
+    [M,12] two child AABBs, ``nodes_i`` [M,4] (ref,count) pairs; leaves are
+    single prims (ref=prim id, count=1).  Used for the per-page block BVHs
+    of the dense paged format, where prims are 8-triangle sub-blocks —
+    N is a few hundred, so a Python build is fine.
+    """
+    n = lo.shape[0]
+    nodes_f, nodes_i = [], []
+
+    def emit(ids):
+        my = len(nodes_f)
+        nodes_f.append(np.zeros(12, np.float32))
+        nodes_i.append(np.zeros(4, np.int32))
+
+        def child(sub):
+            clo, chi = lo[sub].min(axis=0), hi[sub].max(axis=0)
+            if len(sub) == 1:
+                return clo, chi, int(sub[0]), 1
+            return clo, chi, emit(sub), 0
+
+        if len(ids) == 1:
+            # Root-only degenerate: single prim as child 0, empty child 1.
+            c = child(ids)
+            nodes_f[my][0:3], nodes_f[my][3:6] = c[0], c[1]
+            nodes_f[my][6:9], nodes_f[my][9:12] = 1.0, -1.0
+            nodes_i[my][:] = (c[2], c[3], 0, -1)
+            return my
+        cent = (lo[ids] + hi[ids]) * 0.5
+        best = None  # (cost, axis, k, order)
+        for ax in range(3):
+            order = ids[np.argsort(cent[:, ax], kind="stable")]
+            llo = np.minimum.accumulate(lo[order], axis=0)
+            lhi = np.maximum.accumulate(hi[order], axis=0)
+            rlo = np.minimum.accumulate(lo[order][::-1], axis=0)[::-1]
+            rhi = np.maximum.accumulate(hi[order][::-1], axis=0)[::-1]
+
+            def area(a, b):
+                d = np.maximum(b - a, 0.0)
+                return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+            m = len(order)
+            cost = (area(llo, lhi)[: m - 1] * np.arange(1, m)
+                    + area(rlo, rhi)[1:] * np.arange(m - 1, 0, -1))
+            k = int(np.argmin(cost))
+            if best is None or cost[k] < best[0]:
+                best = (cost[k], ax, k, order)
+        _, _, k, order = best
+        c0 = child(order[: k + 1])
+        c1 = child(order[k + 1:])
+        nodes_f[my][0:3], nodes_f[my][3:6] = c0[0], c0[1]
+        nodes_f[my][6:9], nodes_f[my][9:12] = c1[0], c1[1]
+        nodes_i[my][:] = (c0[2], c0[3], c1[2], c1[3])
+        return my
+
+    import sys
+    old = sys.getrecursionlimit()
+    sys.setrecursionlimit(max(old, 4 * n + 64))
+    try:
+        emit(np.arange(n))
+    finally:
+        sys.setrecursionlimit(old)
+    return np.stack(nodes_f), np.stack(nodes_i)
+
+
+def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
+    """Dense page format for the paged kernel: zero lane padding on tris.
+
+    Triangles (already Morton-ordered) are grouped into 8-tri SUB-BLOCKS;
+    a binary sweep-SAH BVH over sub-block boxes is collapsed 8-wide; then
+    every wide node's sub-block children are bundled under LEAF-PARENT
+    nodes whose 8 children are the 8 sub-blocks of one dense (8,128) pack
+    row-group — sub-block j lives at lanes [16j, 16j+16), so the kernel
+    extracts it with a STATIC lane slice (Mosaic cannot reshape lanes to
+    sublanes, and dynamic lane offsets are unsupported; static per-child
+    offsets are the one layout that allows dense rows).
+
+    Returns ``(nodes8_i [N,18] int32, nodes8_f [N*8,8] f32, pack
+    [B*8,128] f32, max_depth)``.  ``nodes8_i`` row = 8 x (ref,count) +
+    axis (col 16) + is_leaf_parent (col 17).  For a leaf-parent, col 0 =
+    its pack row-group index r (rows r*8..r*8+8), and child j's count is
+    8 (tris padded with degenerate zero rows) or -1 (empty slot, inverted
+    box).  Pack row layout: tri i of sub-block j at row i, comp k at lane
+    16j+k; comps = (v0, e1, e2, slot_base+slot, uv corners) as in
+    ``build_leaf_packs``.
+    """
+    r = v0.shape[0]
+    nsb = -(-r // 8)
+    # Sub-block boxes from real tris (v0, v0+e1, v0+e2 corners).
+    pts = np.stack([v0, v0 + e1, v0 + e2], axis=1)  # [r,3,3]
+    sb_lo = np.full((nsb, 3), 3e38, np.float32)
+    sb_hi = np.full((nsb, 3), -3e38, np.float32)
+    for j in range(nsb):
+        p = pts[8 * j: 8 * j + 8].reshape(-1, 3)
+        sb_lo[j], sb_hi[j] = p.min(axis=0), p.max(axis=0)
+
+    bf, bi = sweep_sah_boxes(sb_lo, sb_hi)
+    n8f, n8i, n8ax, max_depth = collapse_bvh8(bf, bi)
+
+    # Bundle sub-block children under leaf-parents.  A node whose children
+    # are ALL sub-blocks becomes a leaf-parent itself (no extra level); a
+    # mixed node's sub-block children move under one appended leaf-parent.
+    n = n8i.shape[0]
+    rows_f = [n8f[8 * w: 8 * w + 8].copy() for w in range(n)]
+    rows_i = [n8i[w].copy() for w in range(n)]
+    rows_ax = [int(n8ax[w]) for w in range(n)]
+    rows_lp = [0] * n
+    pack_groups = []  # per leaf-parent: list of (j, sub_block_id)
+    any_bundled = False
+
+    def make_lp(subs, boxes):
+        """Append a leaf-parent for [(sb_id, lo, hi)] (<= 8)."""
+        wid = len(rows_i)
+        f = np.empty((8, 8), np.float32)
+        f[:, 6:8] = 0.0
+        i = np.zeros(18, np.int32)
+        grp = len(pack_groups)
+        members = []
+        for j in range(8):
+            if j < len(subs):
+                f[j, 0:3], f[j, 3:6] = boxes[j]
+                i[2 * j], i[2 * j + 1] = grp, 8
+                members.append((j, subs[j]))
+            else:
+                f[j, 0:6] = _EMPTY_BOX
+                i[2 * j + 1] = -1
+        i[16], i[17] = 0, 1
+        pack_groups.append(members)
+        rows_f.append(f)
+        rows_i.append(i)
+        rows_ax.append(0)
+        rows_lp.append(1)
+        return wid
+
+    for w in range(n):
+        rec = rows_i[w]
+        sub_slots = [(c, int(rec[2 * c]))
+                     for c in range(8) if rec[2 * c + 1] > 0]
+        if not sub_slots:
+            continue
+        inner = [c for c in range(8) if rec[2 * c + 1] == 0]
+        if not inner:
+            # Pure leaf node -> leaf-parent in place; children keep their
+            # (sorted) positions as pack lanes.
+            grp = len(pack_groups)
+            pack_groups.append([(c, sid) for c, sid in sub_slots])
+            for c, _ in sub_slots:
+                rec[2 * c] = grp
+                rec[2 * c + 1] = 8
+            rows_lp[w] = 1
+        else:
+            # Mixed: bundle sub-blocks under one appended leaf-parent.
+            subs = [sid for _, sid in sub_slots]
+            boxes = [(rows_f[w][c, 0:3].copy(), rows_f[w][c, 3:6].copy())
+                     for c, _ in sub_slots]
+            wid = make_lp(subs, boxes)
+            first = sub_slots[0][0]
+            rec[2 * first] = wid
+            rec[2 * first + 1] = 0
+            rows_f[w][first, 0:3] = np.min([b[0] for b in boxes], axis=0)
+            rows_f[w][first, 3:6] = np.max([b[1] for b in boxes], axis=0)
+            for c, _ in sub_slots[1:]:
+                rows_f[w][c, 0:6] = _EMPTY_BOX
+                rec[2 * c] = 0
+                rec[2 * c + 1] = -1
+            any_bundled = True
+
+    max_depth += int(any_bundled)  # bundled leaf-parents add one level
+    nodes8_i = np.zeros((len(rows_i), 18), np.int32)
+    for w, rec in enumerate(rows_i):
+        nodes8_i[w, : rec.shape[0]] = rec
+        nodes8_i[w, 16] = rows_ax[w]
+        nodes8_i[w, 17] = rows_lp[w]
+    nodes8_f = np.concatenate(rows_f, axis=0)
+
+    # Dense pack: leaf-parent g -> rows [g*8, g*8+8), sub-block j at lanes
+    # [16j, 16j+16).  Padding rows/lanes are zero (degenerate, never hit).
+    pack = np.zeros((max(len(pack_groups), 1) * 8, 128), np.float32)
+    for g, members in enumerate(pack_groups):
+        for j, sid in members:
+            for i in range(8):
+                s = sid * 8 + i
+                if s >= r:
+                    break
+                row = pack[g * 8 + i]
+                row[16 * j + 0: 16 * j + 3] = v0[s]
+                row[16 * j + 3: 16 * j + 6] = e1[s]
+                row[16 * j + 6: 16 * j + 9] = e2[s]
+                row[16 * j + 9] = float(slot_base + s)
+                row[16 * j + 10: 16 * j + 16] = uvs6[s]
+    if 7 * max_depth + 1 > WIDE_STACK_DEPTH:
+        raise ValueError(
+            f"dense BVH8 depth {max_depth} needs stack {7 * max_depth + 1} "
+            f"> {WIDE_STACK_DEPTH}; rebuild with a shallower tree")
+    return nodes8_i, nodes8_f, pack, max_depth
+
+
 def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
     """8-aligned leaf blocks for the vector leaf phase.
 
