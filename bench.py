@@ -139,6 +139,11 @@ def main():
         mega_stats = _megakernel_bench(settings)
     else:
         mega_stats = {"megakernel": f"skipped (elapsed {elapsed:.0f}s)"}
+    elapsed = time.perf_counter() - _T_START
+    if elapsed < 480:
+        paged_stats = _paged_bench()
+    else:
+        paged_stats = {"paged_bench": f"skipped (elapsed {elapsed:.0f}s)"}
 
     prev = _prev_value()
     record = {
@@ -158,6 +163,7 @@ def main():
             "loss": float(loss),
             **mesh_stats,
             **mega_stats,
+            **paged_stats,
         },
     }
     print(json.dumps(record))
@@ -186,6 +192,49 @@ def _megakernel_bench(settings) -> dict:
         }
     except Exception as e:
         return {"megakernel_error": f"{type(e).__name__}: {e}"}
+
+
+def _paged_bench() -> dict:
+    """Tertiary metric: dense paged kernel, 180k-tri mesh forced paged."""
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from tests.test_mesh_render import write_uv_sphere
+        from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+        from vrenderer_pathtracer_tpu.accel.pallas_paged import traverse_paged
+        from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays
+        from vrenderer_pathtracer_tpu.native import load_obj
+
+        p = os.path.join(tempfile.mkdtemp(), "bench_sphere_big.obj")
+        write_uv_sphere(p, radius=12.0, n_theta=300, n_phi=300)
+        mesh = pack_mesh(load_obj(p), paged=True)
+        n_it = 10
+        rays = []
+        for i in range(n_it + 1):
+            cam = Camera.default()._replace(
+                origin=jnp.asarray([1e-4 * i, 0.0, 28.0], jnp.float32))
+            rays.append(generate_rays(cam, 1024, 512))
+        b = rays[0][0].shape[0]
+        tmax = jnp.full((b,), 1e6, jnp.float32)
+
+        def run(o, d):
+            return traverse_paged(mesh, o, d, tmax, image_shape=(512, 1024))
+
+        slot, t = run(*rays[n_it])
+        jax.block_until_ready((slot, t))
+        t0 = time.perf_counter()
+        outs = [run(o, d) for o, d in rays[:n_it]]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n_it
+        return {
+            "paged_traversal_mrays_per_s": round(b / dt / 1e6, 1),
+            "paged_tris": int(np.asarray(mesh.tri_count)),
+            "paged_pages": int(mesh.paged.nodes8_f.shape[0]),
+        }
+    except Exception as e:  # never let a tertiary metric kill the bench
+        return {"paged_bench_error": f"{type(e).__name__}: {e}"}
 
 
 def _mesh_bench() -> dict:

@@ -120,10 +120,13 @@ def main():
     ids = pixel_ids(w, h)
     target = jnp.asarray(np.clip(img.reshape(-1, 3) * 0.9, 0, 1))
 
+    # The scene must be a jit ARGUMENT, not a closure: closed-over device
+    # arrays embed as program constants, and a paged mesh's page arrays
+    # blow the remote-compile request size (hundreds of MB).
     @jax.jit
-    def env_material_grads(brdf_table, env):
+    def env_material_grads(scene, brdf_table, env):
         def loss_fn(bt, e):
-            s2 = r.scene._replace(brdf=bt, hdr=e)
+            s2 = scene._replace(brdf=bt, hdr=e)
             rgb, _ = render_pass(
                 s2, gset, ray_o, ray_d, ids, jnp.uint32(1),
                 r.fresnel_coef, r.fresnel_pow,
@@ -133,7 +136,7 @@ def main():
         return jax.value_and_grad(loss_fn, argnums=(0, 1))(brdf_table, env)
 
     t0 = time.perf_counter()
-    loss, (g_brdf, g_env) = env_material_grads(r.scene.brdf, r.scene.hdr)
+    loss, (g_brdf, g_env) = env_material_grads(r.scene, r.scene.brdf, r.scene.hdr)
     jax.block_until_ready((g_brdf, g_env))
     print(
         f"grad step: loss={float(loss):.5f}, |dL/dBRDF|={float(jnp.abs(g_brdf).sum()):.4g}, "
