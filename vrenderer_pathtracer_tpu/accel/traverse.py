@@ -280,15 +280,18 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
     The backend is the resolved ``settings.traversal``: the Pallas packet
     kernel on VMEM-resident TPU meshes, the XLA lockstep loop elsewhere.
     """
+    # Rays are raster-ordered per pass: the Pallas kernels remap blocks to
+    # 32x32 pixel tiles so silhouette hit/miss mixing stays local — UNLESS
+    # sort_rays is on, in which case rays arrive Morton-sorted and the
+    # raster remap would scramble that stronger ordering.
+    img_shape = (None if settings.sort_rays
+                 else (settings.height, settings.width))
     if settings.traversal == "pallas":
         import functools as _ft
 
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
 
-        # Rays are raster-ordered per pass: remap blocks to 32x32 pixel
-        # tiles so silhouette hit/miss mixing stays local (see _tile_perm).
-        search = _ft.partial(
-            traverse_packets, image_shape=(settings.height, settings.width))
+        search = _ft.partial(traverse_packets, image_shape=img_shape)
     elif settings.traversal.startswith("pallas_paged"):
         import functools
 
@@ -297,7 +300,7 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
         search = functools.partial(
             traverse_paged,
             interpret=settings.traversal.endswith("interpret"),
-            image_shape=(settings.height, settings.width),
+            image_shape=img_shape,
         )
     else:
         search = traverse
