@@ -80,3 +80,53 @@ def test_scheduler_reaches_target(tmp_path):
     sched2 = ProgressiveScheduler(r2, target_spp=8, checkpoint_dir=str(tmp_path))
     assert sched2.resume_if_possible()
     assert r2.samples_per_pixel >= 6  # checkpoint was at pass 8 (spp 8)
+
+
+def test_corrupt_checkpoint_recovers_fresh(tmp_path):
+    """Failure recovery (SURVEY §5.3): a half-written/corrupt checkpoint is
+    survived — resume logs the failure and starts fresh instead of
+    crashing the job."""
+    import json
+    import pathlib
+
+    r = Renderer(16, 16, settings=SETTINGS)
+    r.render()
+    sched = ProgressiveScheduler(
+        r, target_spp=8, checkpoint_dir=str(tmp_path),
+        checkpoint_every=1, metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    sched.run()
+    # Corrupt every data file in the checkpoint.
+    latest = tmp_path / "latest"
+    assert latest.exists()
+    for f in pathlib.Path(latest).rglob("*"):
+        if f.is_file():
+            f.write_bytes(b"corrupt" * 16)
+    r2 = Renderer(16, 16, settings=SETTINGS)
+    sched2 = ProgressiveScheduler(
+        r2, target_spp=8, checkpoint_dir=str(tmp_path),
+        metrics_path=str(tmp_path / "metrics.jsonl"),
+    )
+    assert not sched2.resume_if_possible()  # no crash, fresh start
+    img, _ = sched2.run()  # completes from scratch
+    assert r2.samples_per_pixel >= 8
+    events = [json.loads(line)["event"]
+              for line in (tmp_path / "metrics.jsonl").read_text().splitlines()]
+    assert "resume_failed" in events
+    assert events.count("done") == 2
+
+
+def test_metrics_jsonl_records_passes(tmp_path):
+    import json
+
+    r = Renderer(16, 16, settings=SETTINGS)
+    sched = ProgressiveScheduler(
+        r, target_spp=6, metrics_path=str(tmp_path / "m.jsonl"))
+    sched.run()
+    recs = [json.loads(line)
+            for line in (tmp_path / "m.jsonl").read_text().splitlines()]
+    passes = [x for x in recs if x["event"] == "pass"]
+    assert len(passes) == 3  # 6 spp / 2 per pass
+    assert passes[-1]["spp"] == 6
+    assert all(x["ms"] > 0 and x["mrays_per_s"] > 0 for x in passes)
+    assert recs[-1]["event"] == "done"

@@ -239,3 +239,25 @@ def test_train_step_with_camera_and_env_params():
     np.testing.assert_allclose(
         float(rec.camera.fov_deg), float(ref_g.camera.fov_deg),
         rtol=2e-2, atol=1e-4)
+
+
+def test_train_step_with_metrics():
+    """with_metrics=True returns a replicated structured dict whose loss
+    matches the plain step and whose norms are finite (SURVEY §5.5)."""
+    settings = RenderSettings(
+        width=32, height=32, samples_per_pass=2, bounces=2,
+        use_cornell_box=True, has_hdr=False,
+    )
+    scene = Scene.analytic(settings)
+    cam = Camera.default()
+    target = jnp.zeros((settings.n_pixels, 3), jnp.float32)
+    params0 = TrainParams.from_scene(scene)
+    mesh = make_render_mesh(n_tiles=4, n_samples=1, devices=cpu_devices()[:4])
+    args = (replicate(mesh, params0), replicate(mesh, scene),
+            replicate(mesh, cam), shard_pixels(mesh, target), jnp.uint32(1))
+    _, loss = sharded_train_step(mesh, settings)(*args)
+    p2, metrics = sharded_train_step(mesh, settings, with_metrics=True)(*args)
+    assert set(metrics) == {"loss", "grad_global_norm", "update_norm"}
+    np.testing.assert_allclose(float(metrics["loss"]), float(loss), rtol=1e-6)
+    assert np.isfinite(float(metrics["grad_global_norm"]))
+    assert float(metrics["grad_global_norm"]) > 0

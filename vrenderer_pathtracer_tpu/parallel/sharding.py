@@ -237,8 +237,12 @@ def _apply_params(scene: Scene, params: TrainParams) -> Scene:
 
 
 def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
-                       lr: float = 0.05):
+                       lr: float = 0.05, with_metrics: bool = False):
     """Build a jitted inverse-rendering SGD step sharded over ``mesh``.
+
+    With ``with_metrics=True`` the step returns ``(params', metrics)``
+    where metrics is a dict of replicated scalars (loss, gradient global
+    norm, update norm) computed inside the jitted step (SURVEY §5.5).
 
     ``step(params, scene, camera, target, frame) -> (params', loss)``:
     renders with ``params`` grafted into ``scene``, L2 loss against the
@@ -284,6 +288,17 @@ def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
         )
         loss = lax.psum(loss, TILE_AXIS)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
-        return params, loss
+        if not with_metrics:
+            return params, loss
+        # Structured metrics straight from the jitted step (SURVEY §5.5):
+        # everything here is already replicated across the mesh, so the
+        # dict costs no extra collectives.
+        sq = [jnp.sum(g * g) for g in jax.tree.leaves(grads)]
+        gnorm = jnp.sqrt(sum(sq[1:], sq[0]))
+        return params, {
+            "loss": loss,
+            "grad_global_norm": gnorm,
+            "update_norm": lr * gnorm,
+        }
 
     return jax.jit(_step)

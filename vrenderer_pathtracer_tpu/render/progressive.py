@@ -91,24 +91,68 @@ class ProgressiveScheduler:
     checkpoint_dir: Optional[str] = None
     checkpoint_every: int = 0  # passes between checkpoints; 0 = off
     on_pass: Optional[Callable[[int, int], None]] = None  # (pass_idx, spp)
+    metrics_path: Optional[str] = None  # JSONL event log (SURVEY §5.5)
+
+    def _metrics(self):
+        if not hasattr(self, "_metrics_logger"):
+            from vrenderer_pathtracer_tpu.utils.metrics import MetricsLogger
+
+            self._metrics_logger = (
+                MetricsLogger(self.metrics_path) if self.metrics_path
+                else None)
+        return self._metrics_logger
 
     def resume_if_possible(self) -> bool:
+        """Restore the latest checkpoint if one exists.
+
+        Failure recovery (SURVEY §5.3): a corrupt or half-written
+        checkpoint — the realistic preemption artifact — must not take the
+        job down with it.  Restore errors are logged and the render starts
+        fresh instead of crashing.
+        """
         if not self.checkpoint_dir:
             return False
         path = pathlib.Path(self.checkpoint_dir) / "latest"
         if not path.exists():
             return False
-        restore_checkpoint(self.renderer, path)
+        try:
+            restore_checkpoint(self.renderer, path)
+        except Exception as e:  # corrupt/partial checkpoint -> fresh start
+            import sys
+
+            msg = f"{type(e).__name__}: {e}"
+            if self._metrics():
+                self._metrics().log("resume_failed", path=str(path),
+                                    error=msg)
+            print(f"checkpoint restore failed ({msg}); starting fresh",
+                  file=sys.stderr)
+            return False
+        if self._metrics():
+            self._metrics().log("resumed", path=str(path),
+                                frame=self.renderer.frame,
+                                spp=self.renderer.samples_per_pixel)
         return True
 
     def run(self):
         """Render until target_spp; returns (image01, depth)."""
+        import time
+
         r = self.renderer
+        met = self._metrics()
         img = depth = None
         i = 0
         while r.samples_per_pixel < self.target_spp:
+            t0 = time.perf_counter()
             img, depth = r.render()
             i += 1
+            if met:
+                jax.block_until_ready(img)
+                dt = time.perf_counter() - t0
+                rays = (r.settings.n_pixels * r.settings.samples_per_pass
+                        * r.settings.bounces)
+                met.log("pass", idx=i, spp=r.samples_per_pixel,
+                        ms=round(dt * 1e3, 3),
+                        mrays_per_s=round(rays / dt / 1e6, 2))
             if self.on_pass:
                 self.on_pass(i, r.samples_per_pixel)
             if (
@@ -118,9 +162,13 @@ class ProgressiveScheduler:
             ):
                 jax.block_until_ready(r._accum)
                 save_checkpoint(r, pathlib.Path(self.checkpoint_dir) / "latest")
+                if met:
+                    met.log("checkpoint", spp=r.samples_per_pixel)
         if img is None:
             # Already at/past target (e.g. restored): display the existing
-            # accumulation without appending a pass beyond the requested
+            # accumulation without advancing a pass beyond the requested
             # sample count.
             img, depth = r.current_frame()
+        if met:
+            met.log("done", spp=r.samples_per_pixel)
         return np.asarray(img), np.asarray(depth)
