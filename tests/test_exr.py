@@ -379,3 +379,140 @@ def test_exr_piz_compresses_smooth_data(tmp_path):
     assert p.stat().st_size < 0.6 * raw_bytes
     back = native.load_exr(str(p))
     np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-3)
+
+
+# ---------------------------------------------------------------------------
+# B44 / B44A (compressions 6/7) — independent Python block encoder.
+# ---------------------------------------------------------------------------
+
+
+def _b44_transform(h):
+    """Half bits -> monotonic unsigned ordering (the codec's t-space)."""
+    if (h & 0x7C00) == 0x7C00:
+        return 0x8000
+    return (~h & 0xFFFF) if (h & 0x8000) else (h | 0x8000)
+
+
+_B44_CHAIN = [(0, 4), (4, 8), (8, 12), (0, 1), (4, 5), (8, 9), (12, 13),
+              (1, 2), (5, 6), (9, 10), (13, 14), (2, 3), (6, 7), (10, 11),
+              (14, 15)]
+
+
+def _b44_pack14(t16):
+    """16 t-space values -> 14 bytes (shift 0: requires chain deltas in
+    [-32, 31], which makes the round trip LOSSLESS)."""
+    codes = []
+    for a, b in _B44_CHAIN:
+        d = t16[b] - t16[a] + 0x20
+        assert 0 <= d <= 0x3F, "test data must be shift-0 encodable"
+        codes.append(d)
+    out = bytearray([t16[0] >> 8, t16[0] & 0xFF])
+    fields = [0] + codes  # shift, then 15 codes: four 4x6-bit groups
+    for g in range(4):
+        x = 0
+        for v in fields[4 * g: 4 * g + 4]:
+            x = (x << 6) | v
+        out += bytes([(x >> 16) & 0xFF, (x >> 8) & 0xFF, x & 0xFF])
+    return bytes(out)
+
+
+def _build_b44_exr(img_half, comp=6, flat_blocks=()):
+    """Single-part scanline EXR with HALF B,G,R channels, B44(A) blocks.
+
+    ``img_half``: [h,w,3] uint16 half bits.  ``flat_blocks``: set of
+    (channel, band, blockcol) encoded as 3-byte B44A flat blocks (their
+    16 t-values must be equal).
+    """
+    h, w, _ = img_half.shape
+    chl = b""
+    for cn in (b"B", b"G", b"R"):
+        chl += cn + b"\0" + struct.pack("<iiii", 1, 0, 1, 1)  # HALF
+    chl += b"\0"
+    header = struct.pack("<II", 20000630, 2)
+    header += _attr("channels", "chlist", chl)
+    header += _attr("compression", "compression", bytes([comp]))
+    box = struct.pack("<iiii", 0, 0, w - 1, h - 1)
+    header += _attr("dataWindow", "box2i", box)
+    header += _attr("displayWindow", "box2i", box)
+    header += _attr("lineOrder", "lineOrder", b"\0")
+    header += _attr("pixelAspectRatio", "float", struct.pack("<f", 1.0))
+    header += _attr("screenWindowCenter", "v2f", struct.pack("<ff", 0, 0))
+    header += _attr("screenWindowWidth", "float", struct.pack("<f", 1.0))
+    header += b"\0"
+
+    blocks = []
+    for y0 in range(0, h, 32):
+        nl = min(32, h - y0)
+        bx, by = -(-w // 4), -(-nl // 4)
+        payload = bytearray()
+        for c in (2, 1, 0):  # B, G, R channel order
+            # pad plane to block multiples by edge replication
+            plane = img_half[y0:y0 + nl, :, c]
+            plane = np.pad(plane, ((0, by * 4 - nl), (0, bx * 4 - w)),
+                           mode="edge")
+            tplane = np.vectorize(_b44_transform)(plane.astype(np.int32))
+            for r in range(by):
+                for b in range(bx):
+                    blk = tplane[r * 4:r * 4 + 4, b * 4:b * 4 + 4]
+                    t16 = [int(blk[i // 4, i % 4]) for i in range(16)]
+                    if (2 - c, r, b) in flat_blocks:
+                        assert len(set(t16)) == 1
+                        payload += bytes([t16[0] >> 8, t16[0] & 0xFF, 0xFC])
+                    else:
+                        payload += _b44_pack14(t16)
+        blocks.append((y0, bytes(payload)))
+
+    data_start = len(header) + 8 * len(blocks)
+    offsets, chunks, pos = [], [], data_start
+    for y0, packed in blocks:
+        offsets.append(pos)
+        chunks.append(struct.pack("<ii", y0, len(packed)) + packed)
+        pos += len(chunks[-1])
+    return header + b"".join(struct.pack("<Q", o) for o in offsets) + \
+        b"".join(chunks)
+
+
+def _halves(img_half):
+    return np.vectorize(
+        lambda h: np.frombuffer(
+            np.uint16(h).tobytes() + b"\0\0", "<u2")[0])(img_half)
+
+
+def test_exr_b44_read(tmp_path):
+    """Gentle half ramps are shift-0 encodable -> bit-exact round trip."""
+    h, w = 37, 29
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 0x3800  # 0.5 in half
+    img = np.stack([(base + ((yy * 2 + xx) % 24) + c * 7) for c in range(3)],
+                   axis=2).astype(np.uint16)
+    p = tmp_path / "b44.exr"
+    p.write_bytes(_build_b44_exr(img, comp=6))
+    back = native.load_exr(str(p))
+    expect = np.frombuffer(img.astype("<u2").tobytes(), "<u2")
+    got = np.zeros_like(expect)
+    # compare as halves: convert expectation via the reader's own output
+    import struct as _s
+    def h2f(u):
+        s = (u >> 15) & 1; e = (u >> 10) & 0x1F; m = u & 0x3FF
+        if e == 0 and m == 0: v = 0.0
+        elif e == 0: v = (m / 1024.0) * 2.0 ** -14
+        elif e == 31: v = float("nan")
+        else: v = (1 + m / 1024.0) * 2.0 ** (e - 15)
+        return -v if s else v
+    expect_f = np.array([h2f(int(u)) for u in expect], np.float32).reshape(h, w, 3)
+    np.testing.assert_array_equal(back, expect_f)
+
+
+def test_exr_b44a_flat_blocks(tmp_path):
+    """B44A 3-byte flat blocks decode to the constant value."""
+    h, w = 8, 8  # 2x2 blocks per channel
+    img = np.full((h, w, 3), 0x3C00, np.uint16)  # all 1.0 -> every block flat
+    img[4:8, 4:8, :] += np.arange(3, dtype=np.uint16)[None, None, :]
+    flat = {(c, r, b) for c in range(3) for r in range(2) for b in range(2)
+            if not (r == 1 and b == 1)}
+    p = tmp_path / "b44a.exr"
+    p.write_bytes(_build_b44_exr(img, comp=7, flat_blocks=flat))
+    back = native.load_exr(str(p))
+    assert back.shape == (h, w, 3)
+    np.testing.assert_allclose(back[0, 0], [1.0, 1.0, 1.0])
+    np.testing.assert_allclose(back[:4, :4], 1.0)

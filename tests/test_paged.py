@@ -106,3 +106,23 @@ def test_sorted_traverse_preserves_results():
     slot_b, t_b = sorted_traverse(traverse, mesh, o, d, t_max)
     np.testing.assert_array_equal(np.asarray(slot_a), np.asarray(slot_b))
     np.testing.assert_array_equal(np.asarray(t_a), np.asarray(t_b))
+
+
+def test_paged_tile_remap_matches_unmapped():
+    """image_shape tiling is a pure permutation: identical results to the
+    unmapped call, in original ray order (the fast path used for raster
+    camera passes)."""
+    from vrenderer_pathtracer_tpu.core.camera import Camera, generate_rays
+
+    host = _soup(900, seed=3, extent=40.0)
+    mesh = pack_mesh_paged(host, page_tris=256)
+    h, w = 32, 64  # multiples of TILE=32
+    o, d = generate_rays(
+        Camera.default()._replace(origin=jnp.asarray([0.0, 0.0, 60.0])),
+        w, h)
+    t_max = jnp.full((h * w,), 1e6, jnp.float32)
+    s0, t0 = traverse_paged(mesh, o, d, t_max, interpret=True)
+    s1, t1 = traverse_paged(mesh, o, d, t_max, interpret=True,
+                            image_shape=(h, w))
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))

@@ -177,6 +177,88 @@ bool pxr24_reconstruct(const std::vector<uint8_t>& planes, int w, int nlines,
 // Decode one compressed chunk covering `nlines` lines of `bw` pixels into
 // the standard raw scanline layout (shared by the scanline and tiled
 // paths).  `row_bytes` = sum of channel sizes * bw.
+// ---------------------------------------------------------------------------
+// B44 / B44A (compression 6 / 7): HALF channels in 4x4 pixel blocks of 14
+// bytes (3 bytes for B44A "flat" blocks); FLOAT/UINT channels stored raw.
+// Written from the OpenEXR file-format specification of the codec: each
+// half is sign-transformed to t (monotonic unsigned ordering), the block
+// stores t[0] plus fifteen 6-bit chain deltas scaled by a per-block shift.
+// ---------------------------------------------------------------------------
+
+bool b44_unpack14(const uint8_t* b, uint16_t s[16]) {
+  const uint32_t shift = b[2] >> 2;
+  if (shift > 16) return false;  // malformed: halves are 16-bit
+  const uint32_t bias = 0x20u << shift;
+  s[0] = (uint16_t)((b[0] << 8) | b[1]);
+  // Twelve packed bytes hold the 6-bit shift plus fifteen 6-bit codes in
+  // four 3-byte groups; chain order: down the first column, then along
+  // each row.
+  auto code = [&](int idx) -> uint32_t {  // idx 0..14
+    const int bit = 6 * (idx + 1);  // after the shift field
+    const int byte = 2 + bit / 8;
+    const uint32_t w =
+        ((uint32_t)b[byte] << 8) | (byte + 1 < 14 ? b[byte + 1] : 0);
+    return (w >> (16 - 6 - bit % 8)) & 0x3f;
+  };
+  static const int8_t chain[15][2] = {
+      {0, 4},  {4, 8},  {8, 12},  {0, 1},  {4, 5},
+      {8, 9},  {12, 13}, {1, 2},  {5, 6},  {9, 10},
+      {13, 14}, {2, 3},  {6, 7},  {10, 11}, {14, 15}};
+  for (int i = 0; i < 15; ++i)
+    s[chain[i][1]] =
+        (uint16_t)(s[chain[i][0]] + (code(i) << shift) - bias);
+  for (int i = 0; i < 16; ++i)
+    s[i] = (s[i] & 0x8000) ? (uint16_t)(s[i] & 0x7fff) : (uint16_t)~s[i];
+  return true;
+}
+
+bool b44_uncompress(const uint8_t* in, size_t n, int w, int nlines,
+                    const std::vector<Channel>& channels,
+                    const std::vector<size_t>& ch_offset,
+                    const std::vector<int>& ch_size, size_t row_bytes,
+                    std::vector<uint8_t>* raw) {
+  raw->assign(row_bytes * (size_t)nlines, 0);
+  const uint8_t* p = in;
+  const uint8_t* end = in + n;
+  const int bx = (w + 3) / 4, by = (nlines + 3) / 4;
+  std::vector<uint16_t> plane((size_t)by * 4 * bx * 4);
+  for (size_t c = 0; c < channels.size(); ++c) {
+    uint8_t* dst_base = raw->data() + ch_offset[c];
+    if (channels[c].type != 1) {  // FLOAT/UINT: stored uncompressed
+      const size_t need = (size_t)w * nlines * ch_size[c];
+      if (p + need > end) return false;
+      for (int y = 0; y < nlines; ++y)
+        std::memcpy(dst_base + row_bytes * y, p + (size_t)w * ch_size[c] * y,
+                    (size_t)w * ch_size[c]);
+      p += need;
+      continue;
+    }
+    for (int r = 0; r < by; ++r)
+      for (int b = 0; b < bx; ++b) {
+        uint16_t s[16];
+        if (p + 3 > end) return false;
+        if (p[2] >= 0xfc) {  // B44A flat block
+          s[0] = (uint16_t)((p[0] << 8) | p[1]);
+          for (int i = 1; i < 16; ++i) s[i] = s[0];
+          for (int i = 0; i < 16; ++i)
+            s[i] = (s[i] & 0x8000) ? (uint16_t)(s[i] & 0x7fff)
+                                   : (uint16_t)~s[i];
+          p += 3;
+        } else {
+          if (p + 14 > end || !b44_unpack14(p, s)) return false;
+          p += 14;
+        }
+        for (int i = 0; i < 16; ++i)
+          plane[(size_t)(r * 4 + i / 4) * bx * 4 + b * 4 + i % 4] = s[i];
+      }
+    for (int y = 0; y < nlines; ++y) {
+      uint16_t* dst = (uint16_t*)(dst_base + row_bytes * y);
+      for (int x = 0; x < w; ++x) dst[x] = plane[(size_t)y * bx * 4 + x];
+    }
+  }
+  return true;
+}
+
 bool decode_chunk(uint8_t compression, const std::vector<uint8_t>& packed,
                   int bw, int nlines, size_t row_bytes,
                   const std::vector<Channel>& channels,
@@ -211,6 +293,18 @@ bool decode_chunk(uint8_t compression, const std::vector<uint8_t>& packed,
         dst_len != planes_size)
       return false;
     if (!pxr24_reconstruct(planes, bw, nlines, channels, raw, want))
+      return false;
+  } else if (compression == 6 || compression == 7) {  // B44 / B44A
+    size_t off = 0;
+    std::vector<size_t> ch_offset(channels.size());
+    std::vector<int> ch_size(channels.size());
+    for (size_t c = 0; c < channels.size(); ++c) {
+      ch_offset[c] = off;
+      ch_size[c] = channels[c].type == 1 ? 2 : 4;
+      off += (size_t)bw * ch_size[c];
+    }
+    if (!b44_uncompress(packed.data(), dsize, bw, nlines, channels,
+                        ch_offset, ch_size, row_bytes, raw))
       return false;
   } else {  // ZIPS / ZIP
     raw->resize(want);
@@ -291,13 +385,13 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
   const int h = dw[3] - dw[1] + 1;
   if (w <= 0 || h <= 0 || (int64_t)w * h > (int64_t)1 << 30) return 3;
   // compression: 0 NONE, 1 RLE, 2 ZIPS (1 line), 3 ZIP (16 lines),
-  // 4 PIZ (32 lines), 5 PXR24 (16 lines)
+  // 4 PIZ (32 lines), 5 PXR24 (16 lines), 6 B44 / 7 B44A (32 lines)
   int lines_per_block;
   if (compression == 0 || compression == 1 || compression == 2)
     lines_per_block = 1;
   else if (compression == 3 || compression == 5)
     lines_per_block = 16;
-  else if (compression == 4)
+  else if (compression == 4 || compression == 6 || compression == 7)
     lines_per_block = 32;
   else
     return 4;
