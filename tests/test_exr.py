@@ -516,3 +516,19 @@ def test_exr_b44a_flat_blocks(tmp_path):
     assert back.shape == (h, w, 3)
     np.testing.assert_allclose(back[0, 0], [1.0, 1.0, 1.0])
     np.testing.assert_allclose(back[:4, :4], 1.0)
+
+
+@pytest.mark.parametrize("shape", [(24, 33), (16, 8), (17, 5)])
+def test_exr_zip_write_read_roundtrip(tmp_path, shape):
+    rng = np.random.default_rng(7)
+    img = rng.uniform(0, 4, shape + (3,)).astype(np.float32)
+    p = tmp_path / "z.exr"
+    native.write_exr(str(p), img, compression="zip")
+    back = native.load_exr(str(p))
+    np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-3)  # HALF
+    # Smooth data must actually shrink.
+    y = np.linspace(0, 1, 64)[:, None, None]
+    smooth = np.broadcast_to(y, (64, 96, 3)).astype(np.float32).copy()
+    p2 = tmp_path / "smooth.exr"
+    native.write_exr(str(p2), smooth, compression="zip")
+    assert p2.stat().st_size < 0.5 * 64 * 96 * 3 * 2

@@ -85,10 +85,11 @@ _MERL_ERRORS = {
 }
 _EXR_ERRORS = {
     1: "cannot open file",
-    2: "not an EXR (bad magic) or unsupported version/tiled layout",
+    2: "not an EXR (bad magic/version)",
     3: "bad header (missing/invalid channels or dataWindow)",
-    4: "unsupported feature (compression other than NONE/ZIPS/ZIP, or "
-       "UINT channels, or no R/G/B/Y channels)",
+    4: "unsupported feature (deep/multipart, compression beyond "
+       "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A, UINT channels, or no "
+       "R/G/B/Y channels)",
     5: "truncated or corrupt pixel data",
 }
 
@@ -270,13 +271,13 @@ def load_exr(path: str) -> np.ndarray:
 def write_exr(path: str, rgb: np.ndarray, compression: str = "none") -> None:
     """Write [H,W,3] float32 as a half EXR.
 
-    ``compression`` — "none" or "piz" (wavelet+Huffman, the common wild
-    format; csrc/piz.cc)."""
+    ``compression`` — "none", "zip" (deflate + half-interleave filter) or
+    "piz" (wavelet+Huffman, the common wild format; csrc/piz.cc)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, np.float32)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected [H,W,3], got {rgb.shape}")
-    codes = {"none": 0, "piz": 4}
+    codes = {"none": 0, "zip": 3, "piz": 4}
     if compression not in codes:
         raise ValueError(f"unsupported compression {compression!r}")
     c_fp = ctypes.POINTER(ctypes.c_float)

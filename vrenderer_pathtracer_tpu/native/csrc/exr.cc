@@ -547,10 +547,11 @@ corrupt:
 }
 
 // Write [h*w*3] float32 RGB as a HALF scanline EXR.
-// compression: 0 = NONE, 4 = PIZ.  Returns 0 ok, 1 open, 4 unsupported.
+// compression: 0 = NONE, 3 = ZIP, 4 = PIZ.  Returns 0 ok, 1 open,
+// 4 unsupported.
 int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    int compression) {
-  if (compression != 0 && compression != 4) return 4;
+  if (compression != 0 && compression != 3 && compression != 4) return 4;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   auto put = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
@@ -593,7 +594,8 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
   put(&end, 1);
 
   const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
-  const int lines_per_block = compression == 4 ? 32 : 1;
+  const int lines_per_block =
+      compression == 4 ? 32 : (compression == 3 ? 16 : 1);
   const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
 
   // Prepare per-block payloads first (offset table precedes the data).
@@ -623,6 +625,27 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
         // Fallback: store the raw bytes (readers treat dsize >= want as raw).
         out.assign((const uint8_t*)rows.data(),
                    (const uint8_t*)rows.data() + want);
+      }
+      blocks[b].swap(out);
+    } else if (compression == 3) {  // ZIP: filter + deflate
+      std::vector<uint8_t> filt((const uint8_t*)rows.data(),
+                                (const uint8_t*)rows.data() + want);
+      // The inverse of exr_unfilter: de-interleave halves, delta-encode.
+      std::vector<uint8_t> tmp(filt.size());
+      const size_t half = (filt.size() + 1) / 2;
+      for (size_t i = 0; i < filt.size(); ++i)
+        tmp[(i % 2) ? half + i / 2 : i / 2] = filt[i];
+      for (size_t i = tmp.size(); i-- > 1;)
+        tmp[i] = (uint8_t)(tmp[i] - tmp[i - 1] + 128);
+      uLongf dst_len = compressBound((uLong)tmp.size());
+      std::vector<uint8_t> out(dst_len);
+      if (compress(out.data(), &dst_len, tmp.data(), (uLong)tmp.size()) !=
+              Z_OK ||
+          dst_len >= want) {
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      } else {
+        out.resize(dst_len);
       }
       blocks[b].swap(out);
     } else {
