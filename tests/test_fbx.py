@@ -238,3 +238,77 @@ def test_fbx_renders_through_pipeline(tmp_path):
     slot, t = traverse(mesh, o, d, jnp.full((2,), 1e6, jnp.float32))
     assert int(slot[0]) >= 0 and np.isclose(float(t[0]), 5.0, atol=1e-4)
     assert int(slot[1]) < 0  # misses the recentered quad
+
+
+# ---------------------------------------------------------------------------
+# ASCII FBX (text form) — same quad through the text parser.
+# ---------------------------------------------------------------------------
+
+
+_ASCII_QUAD = """; FBX 7.4.0 project file
+FBXHeaderExtension:  {
+    FBXHeaderVersion: 1003
+    FBXVersion: 7400
+}
+Objects:  {
+    Geometry: 1000, "Geometry::decoy", "Mesh" {
+        Vertices: *9 {
+            a: 10,10,10,11,10,10,10,11,10
+        }
+        PolygonVertexIndex: *3 {
+            a: 0,1,-3
+        }
+    }
+    Geometry: 1001, "Geometry::mesh", "Mesh" {
+        Vertices: *12 {
+            a: 0,0,0,2,0,0,2,2,0,
+               0,2,0
+        }
+        PolygonVertexIndex: *4 {
+            a: 0,1,2,-4
+        }
+        LayerElementNormal: 0 {
+            Version: 102
+            Name: ""
+            MappingInformationType: "ByPolygonVertex"
+            ReferenceInformationType: "Direct"
+            Normals: *12 {
+                a: 0,0,1,0,0,1,0,0,1,0,0,1
+            }
+        }
+        LayerElementUV: 0 {
+            Version: 101
+            MappingInformationType: "ByPolygonVertex"
+            ReferenceInformationType: "IndexToDirect"
+            UV: *8 {
+                a: 0,0,1,0,1,1,0,1
+            }
+            UVIndex: *4 {
+                a: 0,1,2,3
+            }
+        }
+    }
+}
+Connections:  {
+    C: "OO",1001,0
+}
+"""
+
+
+def test_fbx_ascii_quad(tmp_path):
+    p = tmp_path / "quad_ascii.fbx"
+    p.write_text(_ASCII_QUAD)
+    m = load_fbx(p)
+    assert m.tris.shape == (2, 3)
+    assert m.verts.shape[0] == 4
+    np.testing.assert_allclose(sorted(m.verts[:, 0]), [-1, -1, 1, 1])
+    np.testing.assert_allclose(m.normals, [[0, 0, 1]] * 4)
+    uvs = {tuple(np.round(r, 5)) for r in m.uvs}
+    assert uvs == {(0, 1), (1, 1), (1, 0), (0, 0)}  # v flipped
+
+
+def test_fbx_ascii_not_fbx_rejected(tmp_path):
+    p = tmp_path / "nope.fbx"
+    p.write_text("solid ascii_stl\nendsolid\n" * 4)
+    with pytest.raises(IOError):
+        load_fbx(p)

@@ -74,8 +74,7 @@ _PLY_ERRORS = {
 _FBX_ERRORS = {
     1: "cannot open file",
     2: "corrupt container or no mesh geometry",
-    3: "not a binary FBX (ascii FBX and foreign formats unsupported: "
-       "convert to binary FBX, OBJ or PLY)",
+    3: "not an FBX file (foreign format: convert to FBX, OBJ or PLY)",
 }
 _MERL_ERRORS = {
     1: "cannot open file",
@@ -180,8 +179,9 @@ def load_ply(path: str) -> HostMesh:
 
 
 def load_fbx(path: str) -> HostMesh:
-    """Binary FBX import (csrc/fbx.cc): last Mesh geometry, layer-0
-    normals/UVs, same post-processing contract as :func:`load_obj`."""
+    """FBX import, binary or ascii (csrc/fbx.cc): last Mesh geometry,
+    layer-0 normals/UVs, same post-processing contract as
+    :func:`load_obj`."""
     lib = _load()
     c_fp = ctypes.POINTER(ctypes.c_float)
     c_ip = ctypes.POINTER(ctypes.c_int)

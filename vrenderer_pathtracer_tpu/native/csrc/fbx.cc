@@ -12,14 +12,16 @@
 //     ByVertice, ByPolygon and AllSame mapping modes,
 //   * zlib-deflated array properties (encoding 1).
 // Model/node transforms and material assignments are out of scope (the
-// mesh is re-centered at its centroid anyway, reference parity); ASCII FBX
-// is rejected with a distinct error code.
+// mesh is re-centered at its centroid anyway, reference parity).  The
+// ASCII text form (6.x/7.x) parses through a tolerant recursive tokenizer
+// into the same Geom structure.
 //
 // Post-processing matches vt_load_obj (loaders.cc): centroid recentering,
 // v -> 1-v flip, corner dedup, smooth normals when the file has none,
 // Lengyel tangents.
 
 #include <cmath>
+#include <cctype>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -323,7 +325,161 @@ extern "C" {
 
 // Load a binary FBX: last Mesh geometry, triangulated and indexed, same
 // output contract as vt_load_obj.  Returns 0 ok, 1 open failure, 2 corrupt
-// or no geometry, 3 not binary FBX (ascii or foreign format).
+// ---------------------------------------------------------------------------
+// ASCII FBX (6.x / 7.x text form).  A tolerant recursive tokenizer: node :=
+// `Name:` props* `{ children }`?, where props are numbers / quoted strings /
+// `*N` array-length markers / bare letters (booleans).  Only the geometry
+// subset is captured — the same Geom the binary parser fills.
+// ---------------------------------------------------------------------------
+
+struct AsciiParser {
+  const char* p;
+  size_t n, off = 0;
+  Geom last_geom;
+
+  void skip_ws() {
+    while (off < n) {
+      char c = p[off];
+      if (c == ';') {  // comment to end of line
+        while (off < n && p[off] != '\n') ++off;
+      } else if (c == '*') {
+        // `*N` array-length marker: skip the star AND its count so the
+        // count never lands in a data sink.
+        ++off;
+        while (off < n && std::isdigit((unsigned char)p[off])) ++off;
+      } else if (c == ' ' || c == '\t' || c == '\r' || c == '\n' ||
+                 c == ',') {
+        ++off;
+      } else {
+        break;
+      }
+    }
+  }
+
+  bool ident(std::string* name) {
+    // Identifier immediately followed by ':' (with no intervening space).
+    size_t save = off;
+    size_t s = off;
+    while (off < n && (std::isalnum((unsigned char)p[off]) || p[off] == '_'))
+      ++off;
+    if (off > s && off < n && p[off] == ':') {
+      name->assign(p + s, off - s);
+      ++off;  // consume ':'
+      return true;
+    }
+    off = save;
+    return false;
+  }
+
+  // Parse one node whose name was already consumed: `Name:` props*
+  // followed by at most one `{ children }` block.  A node without braces
+  // ends at the next sibling identifier (the caller's loop handles it).
+  // `sink_d`/`sink_i` accumulate every number in this node's subtree (how
+  // `a:` blocks and FBX6 inline arrays both land in the same vector);
+  // `geom`/`layer` give the capture context, as in the binary parser.
+  void parse_body(const std::string& name, Geom* geom, Layer* layer,
+                  std::vector<double>* sink_d, std::vector<int64_t>* sink_i,
+                  std::string* sink_s, int depth) {
+    Geom local_geom;
+    bool is_geometry = depth == 2 && (name == "Geometry" || name == "Model");
+    Geom* child_geom = is_geometry ? &local_geom : geom;
+    Layer* child_layer = layer;
+    if (geom && (name == "LayerElementNormal" || name == "LayerElementUV")) {
+      child_layer = name == "LayerElementNormal" ? &geom->normal : &geom->uv;
+      if (child_layer->present) child_layer = nullptr;
+      else child_layer->present = true;
+    }
+    if (geom) {
+      if (name == "Vertices") sink_d = &geom->verts;
+      else if (name == "PolygonVertexIndex") sink_i = &geom->pvi;
+      else if (layer && (name == "Normals" || name == "UV"))
+        sink_d = &layer->data;
+      else if (layer && (name == "NormalsIndex" || name == "UVIndex"))
+        sink_i = &layer->index;
+      else if (layer && name == "MappingInformationType")
+        sink_s = &layer->mapping;
+      else if (layer && name == "ReferenceInformationType")
+        sink_s = &layer->reference;
+    }
+
+    // Properties (numbers / strings / bare-letter booleans).
+    for (;;) {
+      skip_ws();
+      if (off >= n) return;
+      char c = p[off];
+      if (c == '"') {
+        size_t st = ++off;
+        while (off < n && p[off] != '"') ++off;
+        if (sink_s && sink_s->empty()) sink_s->assign(p + st, off - st);
+        if (off < n) ++off;
+        continue;
+      }
+      if (c == '-' || c == '+' || c == '.' ||
+          std::isdigit((unsigned char)c)) {
+        char* endp = nullptr;
+        double v = std::strtod(p + off, &endp);
+        if (endp == p + off) break;
+        off = (size_t)(endp - p);
+        if (sink_d) sink_d->push_back(v);
+        else if (sink_i) sink_i->push_back((int64_t)v);
+        continue;
+      }
+      if (std::isalpha((unsigned char)c) && off + 1 < n &&
+          !(std::isalnum((unsigned char)p[off + 1]) || p[off + 1] == '_' ||
+            p[off + 1] == ':')) {
+        ++off;  // single-letter boolean prop (T, W, Y, ...)
+        continue;
+      }
+      break;  // '{', '}', or a sibling identifier
+    }
+
+    skip_ws();
+    if (off < n && p[off] == '{') {  // children block
+      ++off;
+      for (;;) {
+        skip_ws();
+        if (off >= n) break;
+        if (p[off] == '}') {
+          ++off;
+          break;
+        }
+        std::string child;
+        if (ident(&child)) {
+          bool is_a = child.size() == 1 && child[0] == 'a';
+          parse_body(child, child_geom, child_layer,
+                     is_a ? sink_d : nullptr, is_a ? sink_i : nullptr,
+                     nullptr, depth + 1);
+        } else {
+          ++off;  // unknown token inside a block: skip
+        }
+      }
+    }
+    if (is_geometry && local_geom.valid()) last_geom = std::move(local_geom);
+  }
+
+  void run() {
+    // Depth starts at 1 so document-level nodes (Objects, …) sit at depth
+    // 1 and Geometry/Model at depth 2, matching the binary /Objects path.
+    for (;;) {
+      skip_ws();
+      if (off >= n) break;
+      std::string name;
+      if (ident(&name)) {
+        parse_body(name, nullptr, nullptr, nullptr, nullptr, nullptr, 1);
+      } else {
+        ++off;
+      }
+    }
+  }
+};
+
+// Convert a parsed Geom (either container flavour) into the output mesh.
+// Returns 0 ok, 2 invalid geometry.
+int geom_to_mesh(const Geom& g, float** out_verts, float** out_normals,
+                 float** out_tangents, float** out_uvs, int* out_n_verts,
+                 int** out_tris, int* out_n_tris);
+
+// or no geometry, 3 not FBX (foreign format).
 int vt_load_fbx(const char* path, float** out_verts, float** out_normals,
                 float** out_tangents, float** out_uvs, int* out_n_verts,
                 int** out_tris, int* out_n_tris) {
@@ -342,7 +498,18 @@ int vt_load_fbx(const char* path, float** out_verts, float** out_normals,
   if ((long)got != fsize) return 2;
 
   static const char kMagic[] = "Kaydara FBX Binary  ";
-  if (std::memcmp(buf.data(), kMagic, 20) != 0) return 3;
+  if (std::memcmp(buf.data(), kMagic, 20) != 0) {
+    // ASCII form?  Heuristic: text files open with a "; FBX" comment or an
+    // FBXHeaderExtension node; reject obviously-binary foreign data.
+    std::string head((const char*)buf.data(),
+                     std::min<size_t>(buf.size(), 4096));
+    if (head.find("FBX") == std::string::npos) return 3;
+    AsciiParser ap{(const char*)buf.data(), (size_t)fsize};
+    ap.run();
+    if (!ap.last_geom.valid()) return 2;
+    return geom_to_mesh(ap.last_geom, out_verts, out_normals, out_tangents,
+                        out_uvs, out_n_verts, out_tris, out_n_tris);
+  }
 
   Parser ps;
   ps.r = Reader{buf.data(), (size_t)fsize, 23, true};  // skip magic+0x1A00
@@ -355,8 +522,13 @@ int vt_load_fbx(const char* path, float** out_verts, float** out_normals,
     if (end == 0) break;
   }
   if (ps.corrupt || !ps.last_geom.valid()) return 2;
-  const Geom& g = ps.last_geom;
+  return geom_to_mesh(ps.last_geom, out_verts, out_normals, out_tangents,
+                      out_uvs, out_n_verts, out_tris, out_n_tris);
+}
 
+int geom_to_mesh(const Geom& g, float** out_verts, float** out_normals,
+                 float** out_tangents, float** out_uvs, int* out_n_verts,
+                 int** out_tris, int* out_n_tris) {
   // Control points.
   size_t ncp = g.verts.size() / 3;
   if (ncp == 0) return 2;
