@@ -89,3 +89,53 @@ def test_build_dense_page_empty_subblock_boxes_inverted():
         for j in range(8):
             if n8i[w, 2 * j + 1] < 0:  # empty slot
                 assert (n8f[w * 8 + j, 0:3] > n8f[w * 8 + j, 3:6]).all()
+
+
+def test_native_dense_page_matches_invariants():
+    """The native builder (csrc/dense.cc) satisfies the same structural
+    contract as the numpy oracle: every triangle in exactly one pack
+    sub-block, inside its leaf-parent child box, with global slots."""
+    from vrenderer_pathtracer_tpu.native import build_dense_page_native
+
+    n = 613
+    v0, e1, e2 = _tris(n, seed=2)
+    uvs6 = np.arange(n * 6, dtype=np.float32).reshape(n, 6)
+    n8i, n8f, pack, depth = build_dense_page_native(
+        v0, e1, e2, uvs6, slot_base=100)
+    assert n8i.shape[1] == 18 and n8f.shape == (n8i.shape[0] * 8, 8)
+    assert pack.shape[1] == 128 and depth >= 1
+
+    slots = []
+    stack, visited = [0], set()
+    while stack:
+        w = stack.pop()
+        assert w not in visited
+        visited.add(w)
+        rec = n8i[w]
+        if rec[17]:
+            grp = int(rec[0])
+            for j in range(8):
+                if rec[2 * j + 1] > 0:
+                    assert rec[2 * j] == grp
+                    blk = pack[grp * 8: grp * 8 + 8, 16 * j: 16 * j + 16]
+                    box_lo, box_hi = n8f[w * 8 + j, 0:3], n8f[w * 8 + j, 3:6]
+                    for row in blk:
+                        if not np.any(np.cross(row[3:6], row[6:9])):
+                            continue
+                        s = int(row[9]) - 100
+                        slots.append(s)
+                        np.testing.assert_array_equal(row[10:16], uvs6[s])
+                        for pt in (row[0:3], row[0:3] + row[3:6],
+                                   row[0:3] + row[6:9]):
+                            assert (pt >= box_lo - 1e-3).all()
+                            assert (pt <= box_hi + 1e-3).all()
+        else:
+            for j in range(8):
+                if rec[2 * j + 1] == 0:
+                    stack.append(int(rec[2 * j]))
+    assert sorted(slots) == list(range(n))
+
+    # The dispatcher in accel/wide.py picks the native path.
+    from vrenderer_pathtracer_tpu.accel.wide import build_dense_page
+    n8i2, n8f2, pack2, d2 = build_dense_page(v0, e1, e2, uvs6, slot_base=100)
+    np.testing.assert_array_equal(n8i2, n8i)

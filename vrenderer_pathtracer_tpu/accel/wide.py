@@ -204,7 +204,7 @@ def sweep_sah_boxes(lo: np.ndarray, hi: np.ndarray):
     return np.stack(nodes_f), np.stack(nodes_i)
 
 
-def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
+def build_dense_page_py(v0, e1, e2, uvs6, slot_base=0):
     """Dense page format for the paged kernel: zero lane padding on tris.
 
     Triangles (already Morton-ordered) are grouped into 8-tri SUB-BLOCKS;
@@ -334,6 +334,25 @@ def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
             f"dense BVH8 depth {max_depth} needs stack {7 * max_depth + 1} "
             f"> {WIDE_STACK_DEPTH}; rebuild with a shallower tree")
     return nodes8_i, nodes8_f, pack, max_depth
+
+
+def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
+    """Dense page build — native fast path (csrc/dense.cc) with the numpy
+    reference implementation as fallback and test oracle.  The trees may
+    differ in SAH tie-breaks; both satisfy the invariants tests check and
+    the traversal contract."""
+    try:
+        from vrenderer_pathtracer_tpu.native import build_dense_page_native
+
+        n8i, n8f, pack, depth = build_dense_page_native(
+            v0, e1, e2, uvs6, slot_base)
+    except (OSError, AttributeError):  # stale library: rebuild-free fallback
+        return build_dense_page_py(v0, e1, e2, uvs6, slot_base)
+    if 7 * depth + 1 > WIDE_STACK_DEPTH:
+        raise ValueError(
+            f"dense BVH8 depth {depth} needs stack {7 * depth + 1} "
+            f"> {WIDE_STACK_DEPTH}; rebuild with a shallower tree")
+    return n8i, n8f, pack, depth
 
 
 def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):

@@ -52,6 +52,12 @@ def _load():
     lib.vt_write_exr_c.restype = ctypes.c_int
     lib.vt_write_exr_c.argtypes = [ctypes.c_char_p, c_fp, ctypes.c_int,
                                    ctypes.c_int, ctypes.c_int]
+    lib.vt_build_dense_page.restype = ctypes.c_int
+    lib.vt_build_dense_page.argtypes = [
+        c_fp, c_fp, c_fp, c_fp, ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(c_ip), ctypes.POINTER(c_fp), ctypes.POINTER(c_fp),
+        c_ip, c_ip,
+    ]
     lib.vt_free.restype = None
     lib.vt_free.argtypes = [ctypes.c_void_p]
     _lib = lib
@@ -298,3 +304,37 @@ def load_merl(path: str) -> np.ndarray:
     if rc != 0:
         raise IOError(f"load_merl({path}): {_reason(_MERL_ERRORS, rc)} (code {rc})")
     return _take(pd, (3, n.value), np.float32, lib)
+
+
+def build_dense_page_native(v0, e1, e2, uvs6, slot_base=0):
+    """Native dense page builder (csrc/dense.cc).
+
+    Same contract as accel/wide.py build_dense_page: returns
+    ``(nodes8_i [N,18] int32, nodes8_f [N*8,8] f32, pack [B*8,128] f32,
+    max_depth)``.
+    """
+    lib = _load()
+    c_fp = ctypes.POINTER(ctypes.c_float)
+    c_ip = ctypes.POINTER(ctypes.c_int)
+    v0 = np.ascontiguousarray(v0, np.float32)
+    e1 = np.ascontiguousarray(e1, np.float32)
+    e2 = np.ascontiguousarray(e2, np.float32)
+    uvs6 = np.ascontiguousarray(uvs6, np.float32)
+    r = v0.shape[0]
+    pi, pf, pp = c_ip(), c_fp(), c_fp()
+    n_nodes, n_groups = ctypes.c_int(), ctypes.c_int()
+    depth = lib.vt_build_dense_page(
+        v0.ctypes.data_as(c_fp), e1.ctypes.data_as(c_fp),
+        e2.ctypes.data_as(c_fp), uvs6.ctypes.data_as(c_fp),
+        r, slot_base, ctypes.byref(pi), ctypes.byref(pf), ctypes.byref(pp),
+        ctypes.byref(n_nodes), ctypes.byref(n_groups),
+    )
+    if depth < 0:
+        raise MemoryError("vt_build_dense_page: allocation failed")
+    n, g = n_nodes.value, n_groups.value
+    return (
+        _take(pi, (n, 18), np.int32, lib),
+        _take(pf, (n * 8, 8), np.float32, lib),
+        _take(pp, (g * 8, 128), np.float32, lib),
+        depth,
+    )

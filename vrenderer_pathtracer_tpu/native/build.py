@@ -19,7 +19,7 @@ HERE = pathlib.Path(__file__).resolve().parent
 CSRC = HERE / "csrc"
 LIB = HERE / "libvtrace_host.so"
 
-SOURCES = ["sbvh.cc", "loaders.cc", "fbx.cc", "exr.cc", "piz.cc"]
+SOURCES = ["sbvh.cc", "loaders.cc", "fbx.cc", "exr.cc", "piz.cc", "dense.cc"]
 CXXFLAGS = [
     "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
     "-Wall", "-Wextra", "-fno-exceptions",
