@@ -40,3 +40,22 @@ def test_checked_render_pass_is_finite():
 def test_assert_finite_tree_raises():
     with pytest.raises(AssertionError, match="non-finite"):
         assert_finite_tree({"a": jnp.asarray([1.0, jnp.nan])}, "t")
+
+
+def test_metrics_logger_coercion(tmp_path):
+    """Device scalars / numpy types must coerce to plain JSON values."""
+    import json
+
+    import numpy as np
+
+    from vrenderer_pathtracer_tpu.utils.metrics import MetricsLogger
+
+    path = tmp_path / "m.jsonl"
+    with MetricsLogger(str(path)) as log:
+        log.log("x", a=np.float32(1.5), b=np.int64(7), c="s", d=None,
+                e=True, f=np.float64(2.0))
+    rec = json.loads(path.read_text().splitlines()[0])
+    assert rec["event"] == "x" and rec["a"] == 1.5 and rec["b"] == 7
+    assert rec["c"] == "s" and rec["d"] is None and rec["e"] is True
+    assert rec["f"] == 2 and isinstance(rec["f"], int)  # integral float
+    assert "t" in rec and "wall" in rec

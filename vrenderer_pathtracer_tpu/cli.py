@@ -61,6 +61,7 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--depth-out", help="PNG depth-channel output path")
     # progressive / fault tolerance
     p.add_argument("--checkpoint-dir")
+    p.add_argument("--metrics", help="JSONL metrics log path (per-pass ms, Mrays/s, checkpoint/resume events)")
     p.add_argument("--checkpoint-every", type=int, default=0,
                    help="passes between checkpoints (0 = off)")
     # execution
@@ -167,6 +168,7 @@ def _render_body(args) -> int:
         checkpoint_dir=args.checkpoint_dir,
         checkpoint_every=args.checkpoint_every,
         on_pass=on_pass,
+        metrics_path=args.metrics,
     )
     if args.checkpoint_dir and sched.resume_if_possible() and not args.quiet:
         print(f"resumed at {r.samples_per_pixel} spp", file=sys.stderr)
