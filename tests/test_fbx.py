@@ -213,9 +213,9 @@ def test_fbx_dispatch_and_errors(tmp_path):
     _write_quad_fbx(p)
     m = load_mesh_file(p)
     assert m.tris.shape == (2, 3)
-    ascii_p = tmp_path / "ascii.fbx"
+    ascii_p = tmp_path / "ascii.fbx"  # ascii is parsed; no geometry = error
     ascii_p.write_text("; FBX 7.4.0 project file\nObjects: {\n}\n")
-    with pytest.raises(IOError, match="not a binary FBX"):
+    with pytest.raises(IOError, match="no mesh geometry"):
         load_fbx(ascii_p)
     trunc = tmp_path / "trunc.fbx"
     trunc.write_bytes(b"Kaydara FBX Binary  \x00\x1a\x00" + b"\x00" * 8)
