@@ -30,7 +30,7 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--spp", type=int, default=4, help="samples per step")
     ap.add_argument("--steps", type=int, default=60)
-    ap.add_argument("--lr", type=float, default=0.6)
+    ap.add_argument("--lr", type=float, default=0.08)
     ap.add_argument("--out", default=None, help="PNG of the recovered render")
     ap.add_argument("--metrics", default=None, help="JSONL metrics log")
     args = ap.parse_args()
@@ -43,7 +43,7 @@ def main():
     from vrenderer_pathtracer_tpu.core.camera import Camera
     from vrenderer_pathtracer_tpu.parallel.sharding import (
         TrainParams, make_render_mesh, replicate, shard_pixels,
-        sharded_render_step, sharded_train_step,
+        sharded_opt_step, sharded_render_step,
     )
     from vrenderer_pathtracer_tpu.scene.scene import Scene
     from vrenderer_pathtracer_tpu.utils.metrics import MetricsLogger
@@ -60,12 +60,16 @@ def main():
         mesh, jnp.zeros((settings.n_pixels, 3), jnp.float32))
 
     # ---- ground-truth target: a converged render with the TRUE params ----
+    # The loss compares RAW radiance (what the train step renders), so the
+    # target is the linear accumulation mean — NOT the tonemapped display
+    # image the renderer also returns.
     fc_true, fp_true = jnp.float32(0.1), jnp.float32(3.0)
     accum = accum0
-    for i in range(8):
-        accum, target, _ = render(
+    n_target = 8
+    for i in range(n_target):
+        accum, _, _ = render(
             scene_true, camera, accum, jnp.uint32(1 + i), fc_true, fp_true)
-    target = shard_pixels(mesh, target.reshape(-1, 3))
+    target = accum / n_target  # already pixel-sharded
 
     # ---- perturbed start ----
     true_params = TrainParams.from_scene(jax.device_get(scene_true))
@@ -84,13 +88,19 @@ def main():
     )
     params = replicate(mesh, params)
 
-    step = sharded_train_step(mesh, settings, lr=args.lr, with_metrics=True)
+    import optax
+
+    opt = optax.adam(args.lr)
+    opt_state = replicate(mesh, jax.device_get(
+        opt.init(jax.device_get(params))))
+    step = sharded_opt_step(mesh, settings, opt)
     log = MetricsLogger(args.metrics) if args.metrics else None
 
     t0 = time.perf_counter()
     for i in range(args.steps):
-        params, metrics = step(
-            params, scene_true, camera, target, jnp.uint32(100 + i))
+        params, opt_state, metrics = step(
+            params, opt_state, scene_true, camera, target,
+            jnp.uint32(100 + i))
         if i % 10 == 0 or i == args.steps - 1:
             loss = float(metrics["loss"])
             gn = float(metrics["grad_global_norm"])
@@ -101,12 +111,35 @@ def main():
     print(f"{args.steps} steps in {dt:.1f}s "
           f"({dt / args.steps * 1e3:.0f} ms/step)", file=sys.stderr)
 
+    # Success metric: CONVERGED renders (fresh frames) with the recovered
+    # vs the true parameters, both against the target.  Per-step losses on
+    # single noisy passes are not comparable across parameter sets (MSE on
+    # a noisy estimate rewards variance reduction); converged means are.
+    # The recovered MSE can legitimately come out BELOW the true-params
+    # one: E||R(p)-t||^2 = bias^2 + Var R(p), so L2 on noisy renders
+    # trades a little bias for lower variance — raise --spp / target
+    # passes to shrink the effect.
+    # Individually unobservable parameters (the light sphere's albedo
+    # under its own emission) may drift — the image defines what is
+    # recoverable.
+    from vrenderer_pathtracer_tpu.parallel.sharding import _apply_params
+
     got = jax.device_get(params)
-    want = jax.device_get(replicate(mesh, true_params))
-    err_color = float(np.abs(got.color - want.color).max())
-    err_fc = float(np.abs(got.fresnel_coef - want.fresnel_coef))
-    print(f"max |color error| {err_color:.4f}   |fresnel_coef error| "
-          f"{err_fc:.4f}", file=sys.stderr)
+
+    def converged_mse(p, fc, fp, frame0):
+        sc = _apply_params(scene_true, replicate(mesh, p))
+        rs = sharded_render_step(mesh, settings, scene=sc)
+        acc = accum0
+        for i in range(n_target):
+            acc, _, _ = rs(sc, camera, acc, jnp.uint32(frame0 + i), fc, fp)
+        return float(jnp.mean((acc / n_target - target) ** 2))
+
+    rec_mse = converged_mse(got, got.fresnel_coef, got.fresnel_pow, 200)
+    true_mse = converged_mse(true_params, fc_true, fp_true, 300)
+    err_fc = float(np.abs(got.fresnel_coef - 0.1))
+    print(f"converged-render MSE: recovered {rec_mse:.5f} vs true-params "
+          f"{true_mse:.5f}; |fresnel_coef error| {err_fc:.4f}",
+          file=sys.stderr)
 
     if args.out:
         from vrenderer_pathtracer_tpu.io import save_png

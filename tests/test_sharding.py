@@ -261,3 +261,43 @@ def test_train_step_with_metrics():
     np.testing.assert_allclose(float(metrics["loss"]), float(loss), rtol=1e-6)
     assert np.isfinite(float(metrics["grad_global_norm"]))
     assert float(metrics["grad_global_norm"]) > 0
+
+
+def test_sharded_opt_step_adam():
+    """Optax step: loss decreases over a few adam iterations; metrics dict
+    replicated and finite."""
+    import optax
+
+    from vrenderer_pathtracer_tpu.parallel.sharding import sharded_opt_step
+
+    settings = RenderSettings(
+        width=32, height=32, samples_per_pass=2, bounces=2,
+        use_cornell_box=True, has_hdr=False,
+    )
+    scene = Scene.analytic(settings)
+    cam = Camera.default()
+    mesh = make_render_mesh(n_tiles=4, n_samples=1, devices=cpu_devices()[:4])
+
+    # Target: render with TRUE params; start perturbed.
+    from vrenderer_pathtracer_tpu.core.camera import generate_rays, pixel_ids
+    rgb, _ = render_pass(
+        scene, settings.replace(radiance_kernel="xla"),
+        *generate_rays(cam, 32, 32), pixel_ids(32, 32), jnp.uint32(1),
+        jnp.float32(0.1), jnp.float32(3.0))
+    target = shard_pixels(mesh, rgb)
+
+    p0 = TrainParams.from_scene(scene)
+    p0 = p0._replace(color=jnp.clip(p0.color + 0.2, 0, 1))
+    opt = optax.adam(0.05)
+    opt_state = jax.device_get(opt.init(jax.device_get(p0)))
+    step = sharded_opt_step(mesh, settings, opt)
+    params = replicate(mesh, p0)
+    opt_state = replicate(mesh, opt_state)
+    losses = []
+    for i in range(6):
+        params, opt_state, metrics = step(
+            params, opt_state, replicate(mesh, scene), replicate(mesh, cam),
+            target, jnp.uint32(5 + i))
+        losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses[-1])
+    assert losses[-1] < losses[0] * 0.7

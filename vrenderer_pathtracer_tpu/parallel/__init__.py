@@ -5,6 +5,7 @@ from vrenderer_pathtracer_tpu.parallel.sharding import (
     make_render_mesh,
     replicate,
     shard_pixels,
+    sharded_opt_step,
     sharded_render_step,
     sharded_train_step,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "make_render_mesh",
     "replicate",
     "shard_pixels",
+    "sharded_opt_step",
     "sharded_render_step",
     "sharded_train_step",
 ]

@@ -236,6 +236,54 @@ def _apply_params(scene: Scene, params: TrainParams) -> Scene:
     return scene
 
 
+def sharded_opt_step(mesh: Mesh, settings: RenderSettings, optimizer,
+                     seed: int = 0):
+    """Like :func:`sharded_train_step` but with an optax optimizer.
+
+    ``step(params, opt_state, scene, camera, target, frame) ->
+    (params', opt_state', metrics)`` — gradients are psum-reduced over the
+    mesh exactly as in the SGD step, then fed through
+    ``optimizer.update``; the optimizer state (replicated, it is a pure
+    function of replicated grads) threads through the jitted step so
+    momentum/Adam moments live on device.  Initialise with
+    ``optimizer.init(jax.device_get(params))`` and ``replicate``.
+    """
+    settings = settings.replace(radiance_kernel="xla")
+    _check_divisible(settings, mesh)
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    local_spp = max(settings.samples_per_pass // n_samp, 1)
+    inv_n = 1.0 / (settings.n_pixels * 3)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _step(params, opt_state, scene, camera, target, frame):
+        def loss_fn(p):
+            cam = p.camera if p.camera is not None else camera
+            rgb, _ = _shard_pass(
+                _apply_params(scene, p), cam, frame,
+                p.fresnel_coef, p.fresnel_pow, settings, seed, local_spp,
+            )
+            return jnp.sum((rgb - target) ** 2) * inv_n
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(
+            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
+        )
+        loss = lax.psum(loss, TILE_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        sq = [jnp.sum(g * g) for g in jax.tree.leaves(grads)]
+        gnorm = jnp.sqrt(sum(sq[1:], sq[0]))
+        return params, opt_state, {"loss": loss, "grad_global_norm": gnorm}
+
+    return jax.jit(_step)
+
+
 def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
                        lr: float = 0.05, with_metrics: bool = False):
     """Build a jitted inverse-rendering SGD step sharded over ``mesh``.
