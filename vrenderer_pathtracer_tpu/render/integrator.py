@@ -174,10 +174,19 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     )
 
 
-def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d) -> HitData:
+def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d,
+                    alive=None) -> HitData:
     """Scene intersection in the reference's priority order
     (``cuda/src/PathTracer.cu:136-468``): cornell+analytic spheres, then the
     example sphere *or* the mesh, later hits winning only if strictly closer.
+
+    ``alive`` ([B] bool, optional): lanes already terminated.  Their hit
+    record is masked out by every consumer, but without a hint they would
+    still RE-TRAVERSE their stale ray at full miss cost every remaining
+    bounce — in the paged kernel a dead sky ray walks the whole page chain
+    per bounce.  Dead lanes get a zero search bound instead, which silences
+    them in the packet kernels (and drops their pages from the per-block
+    schedule) while leaving live-lane results bit-identical.
     """
     hd = _intersect_sphere_set(scene, ray_o, ray_d)
     if settings.use_example_sphere:
@@ -185,6 +194,8 @@ def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d) -> Hit
     elif settings.has_mesh:
         from vrenderer_pathtracer_tpu.accel.traverse import mesh_hit
 
+        if alive is not None:
+            hd = hd._replace(t=jnp.where(alive, hd.t, 0.0))
         hd = mesh_hit(scene, settings, ray_o, ray_d, hd)
     return hd
 
@@ -217,7 +228,8 @@ def radiance(
 
     def bounce_step(carry, *, bounce):
         ray_o, ray_d, mask, accum, depth, alive, killed = carry
-        hd = intersect_scene(scene, settings, ray_o, ray_d)
+        hd = intersect_scene(scene, settings, ray_o, ray_d,
+                             alive=None if bounce == 0 else alive)
         miss = alive & ~hd.hit
         live_hit = alive & hd.hit
 
