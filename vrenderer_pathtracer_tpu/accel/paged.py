@@ -4,11 +4,10 @@ The single-level packet kernel (pallas_traverse.py) needs the whole scene in
 VMEM (~16MB/core), capping meshes around 300k leaf triangles.  For larger
 scenes (BASELINE config 5: ~500k tris) the mesh is split into spatial
 **pages**: triangles are Morton-sorted by centroid, chunked into fixed-size
-pages, and each page gets its own SBVH from the native builder.  The Pallas
-paged kernel (pallas_paged.py) then streams page node/triangle arrays
-HBM -> VMEM through the pipelined grid (double-buffered by the Pallas
-runtime) while each ray block stays VMEM-resident, testing its rays against
-every page whose bbox it can possibly hit.
+pages, each page SBVH-leaf-ordered (native builder) and packed into the
+DENSE 8-wide layout (accel/wide.py build_dense_page, native csrc/dense.cc).
+The Pallas paged kernel (pallas_paged.py) then streams each ray block's
+reachable pages HBM -> VMEM with double-buffered manual DMAs.
 
 The reference has no counterpart (its GPU held the whole scene, and its max
 tested scenes were far smaller); this is the TPU-native answer to "scene
