@@ -128,5 +128,5 @@ def test_metrics_jsonl_records_passes(tmp_path):
     passes = [x for x in recs if x["event"] == "pass"]
     assert len(passes) == 3  # 6 spp / 2 per pass
     assert passes[-1]["spp"] == 6
-    assert all(x["ms"] > 0 and x["mrays_per_s"] > 0 for x in passes)
+    assert all(x["ms"] > 0 and x["mrays_per_s"] > 0 for x in passes)  # 5-digit precision survives compile-dominated first passes
     assert recs[-1]["event"] == "done"

@@ -152,7 +152,7 @@ class ProgressiveScheduler:
                         * r.settings.bounces)
                 met.log("pass", idx=i, spp=r.samples_per_pixel,
                         ms=round(dt * 1e3, 3),
-                        mrays_per_s=round(rays / dt / 1e6, 2))
+                        mrays_per_s=round(rays / dt / 1e6, 5))
             if self.on_pass:
                 self.on_pass(i, r.samples_per_pixel)
             if (
