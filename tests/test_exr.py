@@ -532,3 +532,16 @@ def test_exr_zip_write_read_roundtrip(tmp_path, shape):
     p2 = tmp_path / "smooth.exr"
     native.write_exr(str(p2), smooth, compression="zip")
     assert p2.stat().st_size < 0.5 * 64 * 96 * 3 * 2
+
+
+def test_exr_b44_write_read_roundtrip(tmp_path):
+    """B44 is lossy but bounded: smooth data round-trips within a small
+    relative error, and the fixed-rate stream actually shrinks."""
+    y = np.linspace(0, 1, 37)[:, None, None]
+    x = np.linspace(0, 2, 29)[None, :, None]
+    img = np.broadcast_to(0.3 + y * x, (37, 29, 3)).astype(np.float32).copy()
+    p = tmp_path / "b44w.exr"
+    native.write_exr(str(p), img, compression="b44")
+    back = native.load_exr(str(p))
+    np.testing.assert_allclose(back, img, rtol=2e-2, atol=2e-3)
+    assert p.stat().st_size < 0.8 * 37 * 29 * 3 * 2  # 14B per 16 halves

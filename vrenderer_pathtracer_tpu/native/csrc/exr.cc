@@ -318,6 +318,76 @@ bool decode_chunk(uint8_t compression, const std::vector<uint8_t>& packed,
   return true;
 }
 
+// B44 encoder: one 4x4 block of t-space values -> 14 bytes.  Picks the
+// smallest shift whose 6-bit chain codes fit, encoding against the
+// RECONSTRUCTED chain (error feedback) exactly as the decoder will replay
+// it.
+void b44_pack14(const uint16_t t[16], uint8_t b[14]) {
+  static const int8_t chain[15][2] = {
+      {0, 4},  {4, 8},  {8, 12},  {0, 1},  {4, 5},
+      {8, 9},  {12, 13}, {1, 2},  {5, 6},  {9, 10},
+      {13, 14}, {2, 3},  {6, 7},  {10, 11}, {14, 15}};
+  uint32_t codes[15];
+  uint32_t shift = 0;
+  for (; shift <= 16; ++shift) {
+    const int32_t bias = 0x20 << shift;
+    int32_t recon[16];
+    recon[0] = t[0];
+    bool ok = true;
+    for (int i = 0; i < 15 && ok; ++i) {
+      const int a = chain[i][0], c = chain[i][1];
+      int32_t d = ((int32_t)t[c] - recon[a] + bias) >> shift;
+      if (d < 0 || d > 0x3f) {
+        ok = false;
+        break;
+      }
+      codes[i] = (uint32_t)d;
+      recon[c] = recon[a] + ((int32_t)(codes[i] << shift)) - bias;
+    }
+    if (ok) break;
+  }
+  if (shift > 16) shift = 16;  // unreachable for valid halves; clamp
+  b[0] = (uint8_t)(t[0] >> 8);
+  b[1] = (uint8_t)(t[0] & 0xff);
+  uint32_t fields[16];
+  fields[0] = shift;
+  for (int i = 0; i < 15; ++i) fields[i + 1] = codes[i];
+  for (int g = 0; g < 4; ++g) {
+    uint32_t x = (fields[4 * g] << 18) | (fields[4 * g + 1] << 12) |
+                 (fields[4 * g + 2] << 6) | fields[4 * g + 3];
+    b[2 + 3 * g] = (uint8_t)(x >> 16);
+    b[3 + 3 * g] = (uint8_t)(x >> 8);
+    b[4 + 3 * g] = (uint8_t)x;
+  }
+}
+
+uint16_t b44_to_t(uint16_t h) {
+  if ((h & 0x7c00) == 0x7c00) return 0x8000;  // inf/nan -> zero-ish
+  return (h & 0x8000) ? (uint16_t)(~h & 0xffff) : (uint16_t)(h | 0x8000);
+}
+
+// Encode `nlines` rows of 3 interleaved-by-plane HALF channels (the
+// writer's `rows` layout: per line, B plane then G then R) as B44 blocks.
+void b44_compress(const uint16_t* rows, int w, int nlines,
+                  std::vector<uint8_t>* out) {
+  const int bx = (w + 3) / 4, by = (nlines + 3) / 4;
+  out->clear();
+  out->reserve((size_t)3 * bx * by * 14);
+  uint8_t blk[14];
+  for (int c = 0; c < 3; ++c)
+    for (int r = 0; r < by; ++r)
+      for (int b = 0; b < bx; ++b) {
+        uint16_t t[16];
+        for (int i = 0; i < 16; ++i) {
+          int y = std::min(r * 4 + i / 4, nlines - 1);
+          int x = std::min(b * 4 + i % 4, w - 1);  // edge replication
+          t[i] = b44_to_t(rows[((size_t)y * 3 + c) * w + x]);
+        }
+        b44_pack14(t, blk);
+        out->insert(out->end(), blk, blk + 14);
+      }
+}
+
 }  // namespace
 
 extern "C" {
@@ -547,11 +617,13 @@ corrupt:
 }
 
 // Write [h*w*3] float32 RGB as a HALF scanline EXR.
-// compression: 0 = NONE, 3 = ZIP, 4 = PIZ.  Returns 0 ok, 1 open,
-// 4 unsupported.
+// compression: 0 = NONE, 3 = ZIP, 4 = PIZ, 6 = B44 (lossy).  Returns
+// 0 ok, 1 open, 4 unsupported.
 int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    int compression) {
-  if (compression != 0 && compression != 3 && compression != 4) return 4;
+  if (compression != 0 && compression != 3 && compression != 4 &&
+      compression != 6)
+    return 4;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   auto put = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
@@ -595,7 +667,8 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
 
   const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
   const int lines_per_block =
-      compression == 4 ? 32 : (compression == 3 ? 16 : 1);
+      (compression == 4 || compression == 6) ? 32
+                                             : (compression == 3 ? 16 : 1);
   const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
 
   // Prepare per-block payloads first (offset table precedes the data).
@@ -616,7 +689,14 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
       for (int x = 0; x < w; ++x)
         row[2 * w + x] = float_to_half(rgb[(y * (size_t)w + x) * 3]);
     }
-    if (compression == 4) {
+    if (compression == 6) {  // B44: always block-coded (lossy)
+      std::vector<uint8_t> out;
+      b44_compress(rows.data(), w, nlines, &out);
+      if (out.size() >= want)
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      blocks[b].swap(out);
+    } else if (compression == 4) {
       const int ch_shorts[3] = {1, 1, 1};
       std::vector<uint8_t> out;
       if (!piz_compress((const uint8_t*)rows.data(), w, nlines, ch_shorts, 3,
