@@ -101,23 +101,37 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         pages_pack.append(pack)
 
     # Wide arrays padded to the page maxima (empty nodes / zero rows) AND
-    # to 128 lanes in the minor dim.  The lane padding costs nothing extra
-    # on device — XLA stores (…, 8)/(…, 17) arrays in lane-padded (8,128)
-    # tiles anyway — but making it explicit lets the paged kernel's manual
-    # ``make_async_copy`` DMAs slice whole pages (Mosaic requires HBM slice
-    # minor dims tile-aligned).  Child records + sort axis share one int
-    # array: row n = 8 x (ref, count), axis at col 16.
+    # to 128 lanes in the minor dim: the paged kernel's manual
+    # ``make_async_copy`` DMAs slice whole pages, and Mosaic requires HBM
+    # slice minor dims tile-aligned.  Child records + sort axis share one
+    # int array: row n = 8 x (ref, count), axis at col 16.
+    #
+    # Node boxes are LANE-DENSE: 16 nodes share one (8, 128) f32 tile —
+    # node n's child c box lives at row (n//16)*8 + c, lanes
+    # [8*(n%16), 8*(n%16)+8) as (lo3, hi3, pad2).  The round-2 layout kept
+    # one tile per node (8 of 128 lanes used), which made boxes ~half of
+    # every page DMA; the kernel now extracts a node's (8,8) block with a
+    # dynamic sublane slice + ``pltpu.roll`` on the lane dim (dense lane
+    # packing is impossible with plain slicing — Mosaic has no dynamic
+    # lane offsets — but a dynamic lane ROTATE is a native vector op).
     npp8 = -(-max(i8.shape[0] for i8 in pages_8i) // 8) * 8
+    np16 = -(-npp8 // 16)
     rp8 = max(pk.shape[0] for pk in pages_pack)
-    n8f_all = np.zeros((n_pages, npp8 * 8, 128), np.float32)
-    n8f_all[:, :, 0:3] = 3e38
-    n8f_all[:, :, 3:6] = -3e38
+    n8f_all = np.zeros((n_pages, np16 * 8, 128), np.float32)
+    n8f_view = n8f_all.reshape(n_pages, np16, 8, 16, 8)  # [p,tile,c,m,k]
+    n8f_view[..., 0:3] = 3e38   # empty boxes: inverted, slab tests miss
+    n8f_view[..., 3:6] = -3e38
     n8i_all = np.zeros((n_pages, npp8, 128), np.int32)
     n8i_all[:, :, 1:16:2] = -1  # counts: empty
     pack_all = np.zeros((n_pages, rp8, 128), np.float32)
     for p in range(n_pages):
         m = pages_8i[p].shape[0]
-        n8f_all[p, :m * 8, :8] = pages_8f[p]
+        src = np.full((np16 * 16, 8, 8), 0.0, np.float32)
+        src[:, :, 0:3] = 3e38
+        src[:, :, 3:6] = -3e38
+        src[:m, :, :] = pages_8f[p].reshape(m, 8, 8)
+        # [node, c, k] -> [tile, c, m, k] with node = tile*16 + m.
+        n8f_view[p] = src.reshape(np16, 16, 8, 8).transpose(0, 2, 1, 3)
         n8i_all[p, :m, :18] = pages_8i[p]
         pack_all[p, :pages_pack[p].shape[0]] = pages_pack[p]
 

@@ -131,11 +131,19 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
         # traversal.
         page_hit = page_live(page)
 
+        # Lane-dense boxes: 16 nodes per (8,128) tile (accel/paged.py).
+        # A dynamic lane offset is not sliceable on Mosaic, but a dynamic
+        # lane ROTATE is one native vector op: bring node n's 8-lane group
+        # to lanes [0,8) and let the slab test read lanes 0..5.
+        def node_boxes(n):
+            tile = buf_f[slot, pl.ds((n // 16) * 8, 8), :]
+            return pltpu.roll(tile, (128 - 8 * (n % 16)) & 127, 1)
+
         @pl.when((started[slot] != 0) & page_hit)
         def _():
             wide_packet_traverse(
                 o, d, t_out, slot_out, stack,
-                node_boxes=lambda n: buf_f[slot, pl.ds(n * 8, 8), :],
+                node_boxes=node_boxes,
                 node_i=lambda n, k: buf_i[slot, n, k],
                 node_ax=lambda n: buf_i[slot, n, 16],
                 node_lp=lambda n: buf_i[slot, n, 17],
@@ -241,6 +249,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     paged = mesh.paged
     n_pages = paged.nodes8_f.shape[0]
     npp8 = paged.nodes8_i.shape[1]
+    nbr = paged.nodes8_f.shape[1]   # dense box rows: 8 * ceil(nodes/16)
     rp8 = paged.tri_pack.shape[1]
 
     b = ray_o.shape[0]
@@ -283,7 +292,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         ],
         out_specs=(ray_spec, ray_spec),
         scratch_shapes=[
-            pltpu.VMEM((2, npp8 * 8, 128), jnp.float32),  # page node boxes
+            pltpu.VMEM((2, nbr, 128), jnp.float32),       # dense node boxes
             pltpu.VMEM((2, npp8, 128), jnp.int32),        # child records
             pltpu.VMEM((2, rp8, 128), jnp.float32),       # leaf blocks
             pltpu.SemaphoreType.DMA((2, 3)),

@@ -31,9 +31,10 @@ class PagedNodes(NamedTuple):
     DMAs.  ``tri_pack`` rows store GLOBAL slots (page*page_tris baked in);
     ``nodes8_i`` row = 8 x (ref, count) + sort axis in col 16.  Minor dims
     are lane-padded to 128 so the kernel's page DMAs can slice whole pages
-    (Mosaic requires HBM slice minor dims tile-aligned); cols past the
-    payload are zero — which costs nothing extra on device, XLA lane-pads
-    narrow arrays into (8,128) tiles anyway.
+    (Mosaic requires HBM slice minor dims tile-aligned).  ``nodes8_f`` is
+    LANE-DENSE: 16 nodes share one (8,128) tile (node n's child boxes at
+    rows (n//16)*8..+8, lanes 8*(n%16)..+8); the kernel extracts a node
+    with a dynamic lane rotate (see accel/paged.py).
     """
 
     bbox: jnp.ndarray     # [Pg, 8] float32 — page lo.xyz, hi.xyz, pad
