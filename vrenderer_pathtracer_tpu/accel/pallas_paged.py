@@ -139,16 +139,23 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             tile = buf_f[slot, pl.ds((n // 16) * 8, 8), :]
             return pltpu.roll(tile, (128 - 8 * (n % 16)) & 127, 1)
 
+        # Dense child records: 8 nodes per 128-lane row, axis/leaf-parent
+        # bits in ref0's high bits (accel/paged.py).  Scalar loads take
+        # computed lane indices, so no rotate is needed here.
+        def node_i(n, k):
+            v = buf_i[slot, n // 8, 16 * (n % 8) + k]
+            return (v & 0x0FFFFFFF) if k == 0 else v
+
         @pl.when((started[slot] != 0) & page_hit)
         def _():
             wide_packet_traverse(
                 o, d, t_out, slot_out, stack,
                 node_boxes=node_boxes,
-                node_i=lambda n, k: buf_i[slot, n, k],
-                node_ax=lambda n: buf_i[slot, n, 16],
-                node_lp=lambda n: buf_i[slot, n, 17],
+                node_i=node_i,
+                node_ax=lambda n: (buf_i[slot, n // 8, 16 * (n % 8)] >> 28) & 3,
+                node_lp=lambda n: (buf_i[slot, n // 8, 16 * (n % 8)] >> 30) & 1,
                 dense_pack=buf_p.at[slot],
-                n_nodes=buf_i.shape[1],
+                n_nodes=buf_i.shape[1] * 8,
             )
         return 0
 

@@ -241,37 +241,23 @@ def build_dense_page_py(v0, e1, e2, uvs6, slot_base=0):
     # Bundle sub-block children under leaf-parents.  A node whose children
     # are ALL sub-blocks becomes a leaf-parent itself (no extra level); a
     # mixed node's sub-block children move under one appended leaf-parent.
+    #
+    # Leaf-parents then BIN-PACK into shared pack row-groups: an LP with m
+    # sub-blocks claims m consecutive lane slots of some group (first-fit
+    # decreasing), and its children sit at child positions == its assigned
+    # lane slots (leaf order within a node is irrelevant — any-hit bits are
+    # already fixed — so child positions are free).  One group per LP left
+    # groups ~1/3 full and the pack is ~90% of every page DMA; shared
+    # groups pack them ~full.  Every slot of an LP (members AND empties)
+    # carries ref = grp so the kernel's ``grp = refs[0]`` read works from
+    # any position.
     n = n8i.shape[0]
     rows_f = [n8f[8 * w: 8 * w + 8].copy() for w in range(n)]
     rows_i = [n8i[w].copy() for w in range(n)]
     rows_ax = [int(n8ax[w]) for w in range(n)]
     rows_lp = [0] * n
-    pack_groups = []  # per leaf-parent: list of (j, sub_block_id)
+    lps = []  # (node_id, [(sub_block_id, lo, hi), ...])
     any_bundled = False
-
-    def make_lp(subs, boxes):
-        """Append a leaf-parent for [(sb_id, lo, hi)] (<= 8)."""
-        wid = len(rows_i)
-        f = np.empty((8, 8), np.float32)
-        f[:, 6:8] = 0.0
-        i = np.zeros(18, np.int32)
-        grp = len(pack_groups)
-        members = []
-        for j in range(8):
-            if j < len(subs):
-                f[j, 0:3], f[j, 3:6] = boxes[j]
-                i[2 * j], i[2 * j + 1] = grp, 8
-                members.append((j, subs[j]))
-            else:
-                f[j, 0:6] = _EMPTY_BOX
-                i[2 * j + 1] = -1
-        i[16], i[17] = 0, 1
-        pack_groups.append(members)
-        rows_f.append(f)
-        rows_i.append(i)
-        rows_ax.append(0)
-        rows_lp.append(1)
-        return wid
 
     for w in range(n):
         rec = rows_i[w]
@@ -280,31 +266,70 @@ def build_dense_page_py(v0, e1, e2, uvs6, slot_base=0):
         if not sub_slots:
             continue
         inner = [c for c in range(8) if rec[2 * c + 1] == 0]
+        members = [(sid, rows_f[w][c, 0:3].copy(), rows_f[w][c, 3:6].copy())
+                   for c, sid in sub_slots]
         if not inner:
-            # Pure leaf node -> leaf-parent in place; children keep their
-            # (sorted) positions as pack lanes.
-            grp = len(pack_groups)
-            pack_groups.append([(c, sid) for c, sid in sub_slots])
-            for c, _ in sub_slots:
-                rec[2 * c] = grp
-                rec[2 * c + 1] = 8
+            # Pure leaf node -> leaf-parent in place (slots rewritten below).
             rows_lp[w] = 1
+            lps.append((w, members))
         else:
             # Mixed: bundle sub-blocks under one appended leaf-parent.
-            subs = [sid for _, sid in sub_slots]
-            boxes = [(rows_f[w][c, 0:3].copy(), rows_f[w][c, 3:6].copy())
-                     for c, _ in sub_slots]
-            wid = make_lp(subs, boxes)
+            wid = len(rows_i)
+            rows_f.append(np.empty((8, 8), np.float32))
+            rows_i.append(np.zeros(18, np.int32))
+            rows_ax.append(0)
+            rows_lp.append(1)
+            lps.append((wid, members))
             first = sub_slots[0][0]
             rec[2 * first] = wid
             rec[2 * first + 1] = 0
-            rows_f[w][first, 0:3] = np.min([b[0] for b in boxes], axis=0)
-            rows_f[w][first, 3:6] = np.max([b[1] for b in boxes], axis=0)
+            rows_f[w][first, 0:3] = np.min([m[1] for m in members], axis=0)
+            rows_f[w][first, 3:6] = np.max([m[2] for m in members], axis=0)
             for c, _ in sub_slots[1:]:
                 rows_f[w][c, 0:6] = _EMPTY_BOX
                 rec[2 * c] = 0
                 rec[2 * c + 1] = -1
             any_bundled = True
+
+    # First-fit decreasing over group capacity 8 (stable: ties by node id).
+    order = sorted(range(len(lps)), key=lambda i: (-len(lps[i][1]), i))
+    group_fill = []
+    placement = {}  # lp index -> (grp, lane offset)
+    for i in order:
+        m = len(lps[i][1])
+        for g, fill in enumerate(group_fill):
+            if fill + m <= 8:
+                placement[i] = (g, fill)
+                group_fill[g] = fill + m
+                break
+        else:
+            placement[i] = (len(group_fill), 0)
+            group_fill.append(m)
+
+    pack = np.zeros((max(len(group_fill), 1) * 8, 128), np.float32)
+    for i, (w, members) in enumerate(lps):
+        grp, off = placement[i]
+        f = rows_f[w]
+        rec = rows_i[w]
+        f[:, 0:3] = 3e38
+        f[:, 3:6] = -3e38
+        f[:, 6:8] = 0.0
+        rec[0:16:2] = grp
+        rec[1:16:2] = -1
+        for k, (sid, lo, hi) in enumerate(members):
+            j = off + k
+            f[j, 0:3], f[j, 3:6] = lo, hi
+            rec[2 * j + 1] = 8
+            for t in range(8):
+                s = sid * 8 + t
+                if s >= r:
+                    break
+                row = pack[grp * 8 + t]
+                row[16 * j + 0: 16 * j + 3] = v0[s]
+                row[16 * j + 3: 16 * j + 6] = e1[s]
+                row[16 * j + 6: 16 * j + 9] = e2[s]
+                row[16 * j + 9] = float(slot_base + s)
+                row[16 * j + 10: 16 * j + 16] = uvs6[s]
 
     max_depth += int(any_bundled)  # bundled leaf-parents add one level
     nodes8_i = np.zeros((len(rows_i), 18), np.int32)
@@ -313,22 +338,6 @@ def build_dense_page_py(v0, e1, e2, uvs6, slot_base=0):
         nodes8_i[w, 16] = rows_ax[w]
         nodes8_i[w, 17] = rows_lp[w]
     nodes8_f = np.concatenate(rows_f, axis=0)
-
-    # Dense pack: leaf-parent g -> rows [g*8, g*8+8), sub-block j at lanes
-    # [16j, 16j+16).  Padding rows/lanes are zero (degenerate, never hit).
-    pack = np.zeros((max(len(pack_groups), 1) * 8, 128), np.float32)
-    for g, members in enumerate(pack_groups):
-        for j, sid in members:
-            for i in range(8):
-                s = sid * 8 + i
-                if s >= r:
-                    break
-                row = pack[g * 8 + i]
-                row[16 * j + 0: 16 * j + 3] = v0[s]
-                row[16 * j + 3: 16 * j + 6] = e1[s]
-                row[16 * j + 6: 16 * j + 9] = e2[s]
-                row[16 * j + 9] = float(slot_base + s)
-                row[16 * j + 10: 16 * j + 16] = uvs6[s]
     if 7 * max_depth + 1 > WIDE_STACK_DEPTH:
         raise ValueError(
             f"dense BVH8 depth {max_depth} needs stack {7 * max_depth + 1} "

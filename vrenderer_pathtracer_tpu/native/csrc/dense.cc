@@ -255,11 +255,19 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
     }
   }
 
-  // ---- leaf-parent bundling + pack groups ----
-  struct Member {
-    int j, sid;
+  // ---- leaf-parent bundling + bin-packed pack groups ----
+  // Leaf-parents share pack row-groups: an LP with m sub-blocks claims m
+  // consecutive lane slots of some group (first-fit decreasing) and its
+  // children sit at child positions == the assigned lane slots (leaf order
+  // within a node is free — any-hit bits are already fixed).  One group
+  // per LP left groups ~1/3 full, and the pack dominates every page DMA.
+  // All 8 slots of an LP (members AND empties) carry ref = grp so the
+  // kernel's `grp = refs[0]` read works from any position.
+  struct LP {
+    int node;
+    std::vector<WideSlot> members;  // box + sub-block id (in .ref)
   };
-  std::vector<std::vector<Member>> groups;
+  std::vector<LP> lps;
   bool any_bundled = false;
   const int n_first = (int)wide.size();
   for (int w = 0; w < n_first; ++w) {
@@ -268,36 +276,25 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
     for (int i = 0; i < nd.n; ++i)
       nd.slots[i].cnt == 1 ? ++n_sub : nd.slots[i].cnt == 0 ? ++n_inner : 0;
     if (!n_sub) continue;
+    LP lp;
+    for (int i = 0; i < nd.n; ++i)
+      if (nd.slots[i].cnt == 1) lp.members.push_back(nd.slots[i]);
     if (!n_inner) {
       // Pure leaf node becomes a leaf-parent in place.
-      int grp = (int)groups.size();
-      groups.emplace_back();
-      for (int i = 0; i < nd.n; ++i)
-        if (nd.slots[i].cnt == 1) {
-          groups.back().push_back({i, nd.slots[i].ref});
-          nd.slots[i].ref = grp;
-          nd.slots[i].cnt = 8;
-        }
+      lp.node = w;
       nd.lp = 1;
     } else {
       // Mixed: bundle the sub-block children under one new leaf-parent.
       any_bundled = true;
       int wid = (int)wide.size();
       wide.emplace_back();
-      WideNode& lpn = wide.back();
+      wide.back().lp = 1;
+      lp.node = wid;
       WideNode& src = wide[w];  // re-ref after potential realloc
-      lpn.lp = 1;
-      int grp = (int)groups.size();
-      groups.emplace_back();
       Box un;
       int first = -1;
       for (int i = 0; i < src.n; ++i)
         if (src.slots[i].cnt == 1) {
-          int j = lpn.n++;
-          lpn.slots[j] = src.slots[i];
-          lpn.slots[j].ref = grp;
-          lpn.slots[j].cnt = 8;
-          groups.back().push_back({j, src.slots[i].ref});
           un.add(src.slots[i].box);
           if (first < 0) {
             first = i;
@@ -311,8 +308,51 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
       src.slots[first].ref = wid;
       src.slots[first].cnt = 0;
     }
+    lps.push_back(std::move(lp));
   }
   max_depth += any_bundled ? 1 : 0;
+
+  // First-fit decreasing (stable: ties keep tree order).
+  std::vector<int> lp_order(lps.size());
+  for (size_t i = 0; i < lps.size(); ++i) lp_order[i] = (int)i;
+  std::stable_sort(lp_order.begin(), lp_order.end(), [&](int a, int b) {
+    return lps[a].members.size() > lps[b].members.size();
+  });
+  struct Member {
+    int j, sid;
+  };
+  std::vector<std::vector<Member>> groups;
+  std::vector<int> group_fill;
+  for (int i : lp_order) {
+    const int m = (int)lps[i].members.size();
+    int g = -1;
+    for (size_t k = 0; k < group_fill.size(); ++k)
+      if (group_fill[k] + m <= 8) {
+        g = (int)k;
+        break;
+      }
+    if (g < 0) {
+      g = (int)groups.size();
+      groups.emplace_back();
+      group_fill.push_back(0);
+    }
+    WideNode& nd = wide[lps[i].node];
+    const int off = group_fill[g];
+    group_fill[g] += m;
+    nd.n = 8;
+    for (int c = 0; c < 8; ++c) {
+      nd.slots[c].ref = g;
+      nd.slots[c].cnt = -1;
+      nd.slots[c].box.lo = V3{kBig, kBig, kBig};
+      nd.slots[c].box.hi = V3{-kBig, -kBig, -kBig};
+    }
+    for (int k = 0; k < m; ++k) {
+      const WideSlot& src = lps[i].members[k];
+      nd.slots[off + k].box = src.box;
+      nd.slots[off + k].cnt = 8;
+      groups[g].push_back({off + k, src.ref});
+    }
+  }
 
   // ---- emit arrays ----
   const int n_nodes = (int)wide.size();
@@ -346,7 +386,8 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
       } else {
         row[0] = row[1] = row[2] = kBig;
         row[3] = row[4] = row[5] = -kBig;
-        rec[2 * c] = 0;
+        // LP empties keep ref = grp (the kernel reads grp from slot 0).
+        rec[2 * c] = s.ref;
         rec[2 * c + 1] = -1;
       }
       row[6] = row[7] = 0.f;
