@@ -83,10 +83,15 @@ def mesh_bounds(mesh):
 def sorted_traverse(search, mesh, ray_o, ray_d, t_max):
     """Run ``search`` (a traverse-like fn) on coherence-sorted rays.
 
-    Returns (slot, t) in the ORIGINAL ray order.
+    Returns (slot, t) in the ORIGINAL ray order.  Terminated lanes
+    (``t_max <= 0``, see integrator.intersect_scene's alive hint) sort to
+    the END regardless of their stale ray: they then fill whole all-dead
+    blocks whose page schedules are empty, instead of wasting lanes inside
+    live blocks.
     """
     lo, hi = mesh_bounds(mesh)
     keys = ray_sort_keys(ray_o, ray_d, lo, hi)
+    keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     perm = jnp.argsort(keys)
     slot_s, t_s = search(mesh, ray_o[perm], ray_d[perm], t_max[perm])
     inv = jnp.argsort(perm)
