@@ -104,3 +104,52 @@ def test_supports_scope(mesh):
     assert not supports(scene, base.replace(has_specular_map=True))
     assert not supports(scene, base.replace(use_brdf=True))  # no table
     assert not supports(scene, base.replace(width=100))  # block divisibility
+
+
+def test_deferred_table_grads_match_xla(mesh):
+    """Gradients w.r.t. the DEFERRED tables (env map, diffuse texture, MERL
+    table) flow through the XLA epilogue alone — the Pallas forward needs no
+    AD rule — and must match the differentiable XLA wavefront's gradients
+    (render/pallas_mesh.py docstring; parallel/sharding.py
+    sharded_deferred_opt_step builds on this)."""
+    import jax
+
+    rng = np.random.default_rng(7)
+    hdr = jnp.asarray(rng.uniform(0.1, 1.5, (8, 16, 3)).astype(np.float32))
+    tex = jnp.asarray(rng.uniform(0.1, 1.0, (16, 16, 3)).astype(np.float32))
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=False, has_hdr=True, has_mesh=True,
+        has_diffuse_map=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(False), mesh=mesh, hdr=hdr,
+                  diffuse_map=tex)
+    assert supports(scene, settings)
+    cam = Camera.default()
+
+    def loss_pallas(h, t):
+        s = scene._replace(hdr=h, diffuse_map=t)
+        rgb, _ = render_pass_mesh_pallas(
+            s, settings, cam, jnp.uint32(1), jnp.float32(0.1),
+            jnp.float32(3.0), 0, interpret=True)
+        return jnp.mean(rgb ** 2)
+
+    def loss_xla(h, t):
+        s = scene._replace(hdr=h, diffuse_map=t)
+        ray_o, ray_d = generate_rays(cam, W, H)
+        rgb, _ = render_pass(
+            s, settings, ray_o, ray_d, pixel_ids(W, H), jnp.uint32(1),
+            jnp.float32(0.1), jnp.float32(3.0), 0)
+        return jnp.mean(rgb ** 2)
+
+    vp, gp = jax.value_and_grad(loss_pallas, argnums=(0, 1))(hdr, tex)
+    vx, gx = jax.value_and_grad(loss_xla, argnums=(0, 1))(hdr, tex)
+    # Forward parity is outlier-tolerant (discrete branch flips); gradient
+    # entries inherit the same rare flips, so compare with a small outlier
+    # budget relative to the gradient scale.
+    assert abs(float(vp) - float(vx)) < 1e-3 * max(abs(float(vx)), 1e-6)
+    for a, b in zip(gp, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.abs(b).max() > 0  # gradient actually flows
+        scale = np.abs(b).max()
+        frac = (np.abs(a - b) > 1e-3 * scale).mean()
+        assert frac <= 0.02, f"{frac:.3%} grad entries diverge"

@@ -284,6 +284,100 @@ def sharded_opt_step(mesh: Mesh, settings: RenderSettings, optimizer,
     return jax.jit(_step)
 
 
+class DeferredParams(NamedTuple):
+    """Table-valued scene parameters whose gradients bypass the kernels.
+
+    The mesh megakernel (render/pallas_mesh.py) DEFERS the environment map,
+    diffuse texture and MERL table: the kernel emits per-bounce records that
+    do not depend on these tables' *values*, and a thin XLA epilogue does
+    the gathers and composes radiance.  Gradients w.r.t. the tables
+    therefore flow through the differentiable epilogue alone — the
+    (AD-rule-free) Pallas forward is a constant subexpression — so these
+    parameters train at MEGAKERNEL speed instead of the XLA wavefront's.
+    Exactly the BASELINE config-4/5 gradient set (material table + env map).
+
+    Leaves are optional; None leaves are empty subtrees (no gradient).
+    """
+
+    hdr: Optional[jnp.ndarray] = None          # [H,W,3] environment map
+    diffuse_map: Optional[jnp.ndarray] = None  # [H,W,3] linearised texture
+    brdf: Optional[jnp.ndarray] = None         # [3, TABLE_SIZE] MERL table
+
+    @classmethod
+    def from_scene(cls, scene: Scene, hdr=True, diffuse_map=False,
+                   brdf=False):
+        return cls(
+            hdr=scene.hdr if hdr else None,
+            diffuse_map=scene.diffuse_map if diffuse_map else None,
+            brdf=scene.brdf if brdf else None,
+        )
+
+
+def _apply_deferred(scene: Scene, p: DeferredParams) -> Scene:
+    if p.hdr is not None:
+        scene = scene._replace(hdr=p.hdr)
+    if p.diffuse_map is not None:
+        scene = scene._replace(diffuse_map=p.diffuse_map)
+    if p.brdf is not None:
+        scene = scene._replace(brdf=p.brdf)
+    return scene
+
+
+def sharded_deferred_opt_step(mesh: Mesh, settings: RenderSettings,
+                              optimizer, scene: Optional[Scene] = None,
+                              seed: int = 0):
+    """Optimize :class:`DeferredParams` at megakernel forward speed.
+
+    Unlike :func:`sharded_opt_step` (which must force the differentiable
+    XLA integrator because its parameters feed the kernels), the deferred
+    tables never enter a Pallas kernel, so this step keeps the RESOLVED
+    radiance backend — pass ``scene`` so ``settings_for_scene`` can pick
+    the fused mesh megakernel where it applies.  Backward cost is the
+    epilogue's gathers only.
+
+    ``step(params, opt_state, scene, camera, target, frame, fresnel_coef,
+    fresnel_pow) -> (params', opt_state', metrics)``; gradients are
+    pmean/psum-reduced over the mesh exactly as in the other train steps.
+    """
+    if scene is not None:
+        from vrenderer_pathtracer_tpu.scene.scene import settings_for_scene
+
+        settings = settings_for_scene(scene, settings)
+    _check_divisible(settings, mesh)
+    n_samp = mesh.shape[SAMPLE_AXIS]
+    local_spp = max(settings.samples_per_pass // n_samp, 1)
+    inv_n = 1.0 / (settings.n_pixels * 3)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(TILE_AXIS), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    def _step(params, opt_state, scene, camera, target, frame,
+              fresnel_coef, fresnel_pow):
+        def loss_fn(p):
+            rgb, _ = _shard_pass(
+                _apply_deferred(scene, p), camera, frame,
+                fresnel_coef, fresnel_pow, settings, seed, local_spp,
+            )
+            return jnp.sum((rgb - target) ** 2) * inv_n
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        grads = jax.tree.map(
+            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
+        )
+        loss = lax.psum(loss, TILE_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        sq = [jnp.sum(g * g) for g in jax.tree.leaves(grads)]
+        gnorm = jnp.sqrt(sum(sq[1:], sq[0])) if sq else jnp.float32(0.0)
+        return params, opt_state, {"loss": loss, "grad_global_norm": gnorm}
+
+    return jax.jit(_step)
+
+
 def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
                        lr: float = 0.05, with_metrics: bool = False):
     """Build a jitted inverse-rendering SGD step sharded over ``mesh``.

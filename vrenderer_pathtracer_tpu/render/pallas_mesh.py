@@ -36,6 +36,16 @@ What stays out of scope (falls back to the XLA wavefront): normal maps
 probability) — their fetched values feed control flow, so they cannot be
 deferred; paged (VMEM-exceeding) meshes.
 
+**Deferred-table gradients come for free.** The env map, diffuse texture
+and MERL table never enter the kernel — only the XLA epilogue touches
+them — so ``jax.grad`` w.r.t. those tables works through this function
+WITHOUT an AD rule for the kernel (the Pallas call is a constant
+subexpression of the cotangent graph) and matches the XLA wavefront's
+gradients (tests/test_pallas_mesh.py).  Parameters that feed the kernel
+(camera, sphere colors, fresnel) still require the XLA integrator: their
+cotangents hit ``pl.pallas_call`` and fail at trace time, which is the
+intended guard.  See parallel/sharding.py ``sharded_deferred_opt_step``.
+
 RNG/estimator parity: bit-identical stream spec to core/rng.py and the same
 constants as render/integrator.py; interpret-mode equivalence vs the XLA
 wavefront is tested per scene class (tests/test_pallas_mesh.py).
