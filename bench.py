@@ -144,6 +144,11 @@ def main():
         paged_stats = _paged_bench()
     else:
         paged_stats = {"paged_bench": f"skipped (elapsed {elapsed:.0f}s)"}
+    elapsed = time.perf_counter() - _T_START
+    if elapsed < 540:
+        mesh_mega_stats = _mesh_megakernel_bench()
+    else:
+        mesh_mega_stats = {"mesh_megakernel": f"skipped (elapsed {elapsed:.0f}s)"}
 
     prev = _prev_value()
     record = {
@@ -164,6 +169,7 @@ def main():
             **mesh_stats,
             **mega_stats,
             **paged_stats,
+            **mesh_mega_stats,
         },
     }
     print(json.dumps(record))
@@ -235,6 +241,63 @@ def _paged_bench() -> dict:
         }
     except Exception as e:  # never let a tertiary metric kill the bench
         return {"paged_bench_error": f"{type(e).__name__}: {e}"}
+
+
+def _mesh_megakernel_bench() -> dict:
+    """Quaternary metric: the fused mesh-scene radiance megakernel
+    (render/pallas_mesh.py) on a config-3-like scene — 28.5k-tri textured
+    mesh under an HDRI, full bounce loop + deferred-table epilogue."""
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from tests.test_mesh_render import write_uv_sphere
+        from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+        from vrenderer_pathtracer_tpu.config import RenderSettings
+        from vrenderer_pathtracer_tpu.core.camera import Camera
+        from vrenderer_pathtracer_tpu.native import load_obj
+        from vrenderer_pathtracer_tpu.render.pallas_mesh import (
+            render_pass_mesh_pallas, supports)
+        from vrenderer_pathtracer_tpu.scene.scene import Scene
+        from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+
+        p = os.path.join(tempfile.mkdtemp(), "bench_sphere.obj")
+        write_uv_sphere(p, radius=12.0, n_theta=120, n_phi=120)
+        mesh = pack_mesh(load_obj(p))
+        rng = np.random.default_rng(0)
+        hdr = jnp.asarray(rng.uniform(0, 1.5, (64, 128, 3)).astype(np.float32))
+        tex = jnp.asarray(rng.uniform(0.1, 1, (256, 256, 3)).astype(np.float32))
+        settings = RenderSettings(
+            width=1024, height=1024, samples_per_pass=2, bounces=4,
+            use_cornell_box=False, has_hdr=True, has_mesh=True,
+            has_diffuse_map=True)
+        scene = Scene(spheres=build_sphere_set(False), mesh=mesh, hdr=hdr,
+                      diffuse_map=tex)
+        if not supports(scene, settings):
+            return {"mesh_megakernel": "unsupported scene"}
+        n_it = 20
+        cams = [Camera.default()._replace(
+            origin=jnp.asarray([1e-4 * i, 0.0, 40.0], jnp.float32))
+            for i in range(n_it + 1)]
+
+        def run(cam, frame):
+            return render_pass_mesh_pallas(
+                scene, settings, cam, jnp.uint32(frame), jnp.float32(0.1),
+                jnp.float32(3.0))
+
+        jax.block_until_ready(run(cams[n_it], 1))
+        t0 = time.perf_counter()
+        outs = [run(cams[i], 2 + i) for i in range(n_it)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / n_it
+        rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
+        return {
+            "mesh_megakernel_fwd_mrays_per_s": round(rays / dt / 1e6, 1),
+            "mesh_megakernel_pass_ms": round(dt * 1e3, 3),
+        }
+    except Exception as e:  # never let a tertiary metric kill the bench
+        return {"mesh_megakernel_error": f"{type(e).__name__}: {e}"}
 
 
 def _mesh_bench() -> dict:
