@@ -241,17 +241,19 @@ def test_exr_pxr24_read(tmp_path):
     w = img.shape[1]
 
     def pack(raw, nl):
+        # The per-line delta is on the COMBINED 24-bit word (carries
+        # propagate between byte planes), matching the system OpenEXR —
+        # tests/test_exr_golden.py validates the decoder against the real
+        # library; this synthetic encoder mirrors the same scheme.
         arr = np.frombuffer(raw, "<u4").reshape(nl, 3, w)
         planes = bytearray()
         for line in arr:
             for chan in line:
-                b0 = (chan >> 24).astype(np.uint8)
-                b1 = (chan >> 16).astype(np.uint8)
-                b2 = (chan >> 8).astype(np.uint8)
-                for plane in (b0, b1, b2):
-                    d = np.diff(plane.astype(np.int16),
-                                prepend=np.int16(0)).astype(np.uint8)
-                    planes.extend(d.tobytes())
+                p24 = (chan >> 8).astype(np.uint32)
+                d = np.diff(p24.astype(np.int64),
+                            prepend=np.int64(0)).astype(np.uint32) & 0xFFFFFF
+                for sh in (16, 8, 0):
+                    planes.extend(((d >> sh) & 0xFF).astype(np.uint8).tobytes())
         return zlib.compress(bytes(planes))
 
     p = tmp_path / "pxr24.exr"

@@ -1,0 +1,106 @@
+// Test-only EXR golden generator / reference decoder.
+//
+// Links the SYSTEM OpenEXR (baked into the image) so the repo's
+// dependency-free codec (native/csrc/exr.cc) can be validated against the
+// real library on every compression scheme — strictly stronger than the
+// roundtrip-only tests that preceded it.  This tool is never part of the
+// production build; tests compile it on demand and skip when the library
+// is unavailable (tests/test_exr_golden.py).
+//
+//   exr_tool write <path> <compression 0..9> <w> <h>   deterministic RGB
+//   exr_tool dump  <path> <out.bin>                    RGB float32 rows
+//   exr_tool check <path>                              exit 0 if readable
+//
+// Pixel pattern: reproducible mix of gradients, a bright disc, and
+// pseudo-random texture — exercises flat blocks (B44A), wide dynamic range
+// (PIZ/DWA quantization) and negative values.
+
+#include <ImfArray.h>
+#include <ImfRgba.h>
+#include <ImfRgbaFile.h>
+
+#include <cmath>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+
+using namespace Imf;
+
+static float pattern(int x, int y, int w, int h, int c) {
+  // Deterministic LCG "texture" plus structure.
+  uint32_t s = 2654435761u * (uint32_t)(y * w + x) + 97u * (uint32_t)c + 1u;
+  s ^= s >> 13;
+  s *= 1274126177u;
+  s ^= s >> 16;
+  float r = (float)(s & 0xFFFF) / 65535.0f;
+  float gx = (float)x / (float)w;
+  float gy = (float)y / (float)h;
+  float v = 0.1f + 0.8f * (c == 0 ? gx : c == 1 ? gy : 1.0f - gx);
+  float dx = gx - 0.7f, dy = gy - 0.3f;
+  if (dx * dx + dy * dy < 0.02f) v += 40.0f;  // bright sun disc
+  if (y >= h / 2 && y < h / 2 + 4) v = 0.25f; // flat rows (B44A flat blocks)
+  if (x == 3 && y == 5) v = -0.5f;            // a negative sample
+  return v + 0.05f * r;
+}
+
+int main(int argc, char** argv) {
+  if (argc < 3) return 2;
+  if (!strcmp(argv[1], "write")) {
+    if (argc != 6) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    Array2D<Rgba> px(h, w);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        px[y][x].r = pattern(x, y, w, h, 0);
+        px[y][x].g = pattern(x, y, w, h, 1);
+        px[y][x].b = pattern(x, y, w, h, 2);
+        px[y][x].a = 1.0f;
+      }
+    try {
+      RgbaOutputFile f(argv[2], w, h, WRITE_RGBA, 1.0f,
+                       Imath::V2f(0, 0), 1.0f, INCREASING_Y,
+                       (Compression)comp);
+      f.setFrameBuffer(&px[0][0], 1, w);
+      f.writePixels(h);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "write failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
+  if (!strcmp(argv[1], "dump")) {
+    if (argc != 4) return 2;
+    try {
+      RgbaInputFile f(argv[2]);
+      Imath::Box2i dw = f.dataWindow();
+      const int w = dw.max.x - dw.min.x + 1, h = dw.max.y - dw.min.y + 1;
+      Array2D<Rgba> px(h, w);
+      f.setFrameBuffer(&px[0][0] - dw.min.x - dw.min.y * w, 1, w);
+      f.readPixels(dw.min.y, dw.max.y);
+      FILE* out = fopen(argv[3], "wb");
+      if (!out) return 1;
+      int32_t dims[2] = {w, h};
+      fwrite(dims, sizeof(dims), 1, out);
+      for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+          float rgb[3] = {px[y][x].r, px[y][x].g, px[y][x].b};
+          fwrite(rgb, sizeof(rgb), 1, out);
+        }
+      fclose(out);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "dump failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
+  if (!strcmp(argv[1], "check")) {
+    try {
+      RgbaInputFile f(argv[2]);
+      (void)f.dataWindow();
+    } catch (...) {
+      return 1;
+    }
+    return 0;
+  }
+  return 2;
+}

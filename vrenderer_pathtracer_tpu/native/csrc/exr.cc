@@ -133,8 +133,12 @@ bool rle_decode(const uint8_t* in, size_t n, size_t want,
 }
 
 // PXR24 block reconstruction: zlib output holds, per scanline, per channel,
-// byte PLANES (float -> top 3 bytes, half -> 2 bytes), each plane
-// horizontally delta-encoded.  Rebuild the standard raw scanline layout.
+// byte PLANES (float -> top 3 bytes, half -> 2 bytes); per pixel the bytes
+// recombine into one diff whose running sum over the line is the pixel
+// value — the delta is on the COMBINED word, so low-byte carries propagate
+// into the high bytes (validated bit-exact against the system OpenEXR,
+// tests/test_exr_golden.py; a per-plane accumulation corrupts any line
+// whose low-byte sums wrap).  Rebuild the standard raw scanline layout.
 bool pxr24_reconstruct(const std::vector<uint8_t>& planes, int w, int nlines,
                        const std::vector<Channel>& channels,
                        std::vector<uint8_t>* raw, size_t want) {
@@ -148,23 +152,22 @@ bool pxr24_reconstruct(const std::vector<uint8_t>& planes, int w, int nlines,
       const uint8_t* p0 = planes.data() + sp;
       const uint8_t* p1 = p0 + w;
       const uint8_t* p2 = p1 + w;
-      uint8_t a0 = 0, a1 = 0, a2 = 0;
-      if (ch.type == 2) {  // FLOAT: bits = b0<<24 | b1<<16 | b2<<8
+      if (ch.type == 2) {  // FLOAT: bits = pixel24 << 8
+        uint32_t pixel = 0;
         for (int x = 0; x < w; ++x) {
-          a0 = (uint8_t)(a0 + p0[x]);
-          a1 = (uint8_t)(a1 + p1[x]);
-          a2 = (uint8_t)(a2 + p2[x]);
-          uint32_t bits =
-              ((uint32_t)a0 << 24) | ((uint32_t)a1 << 16) | ((uint32_t)a2 << 8);
+          uint32_t diff = ((uint32_t)p0[x] << 16) | ((uint32_t)p1[x] << 8)
+                          | (uint32_t)p2[x];
+          pixel = (pixel + diff) & 0xFFFFFF;
+          uint32_t bits = pixel << 8;
           std::memcpy(raw->data() + dp + (size_t)x * 4, &bits, 4);
         }
         dp += (size_t)w * 4;
-      } else {  // HALF: bits = b0<<8 | b1
+      } else {  // HALF
+        uint16_t pixel = 0;
         for (int x = 0; x < w; ++x) {
-          a0 = (uint8_t)(a0 + p0[x]);
-          a1 = (uint8_t)(a1 + p1[x]);
-          uint16_t bits = (uint16_t)(((uint16_t)a0 << 8) | a1);
-          std::memcpy(raw->data() + dp + (size_t)x * 2, &bits, 2);
+          uint16_t diff = (uint16_t)(((uint16_t)p0[x] << 8) | p1[x]);
+          pixel = (uint16_t)(pixel + diff);
+          std::memcpy(raw->data() + dp + (size_t)x * 2, &pixel, 2);
         }
         dp += (size_t)w * 2;
       }
@@ -327,16 +330,38 @@ void b44_pack14(const uint16_t t[16], uint8_t b[14]) {
       {0, 4},  {4, 8},  {8, 12},  {0, 1},  {4, 5},
       {8, 9},  {12, 13}, {1, 2},  {5, 6},  {9, 10},
       {13, 14}, {2, 3},  {6, 7},  {10, 11}, {14, 15}};
+  // Every reconstructed value lives on the lattice t0 + k*2^shift (codes
+  // move in whole steps), so the per-pixel error is fixed by the residue
+  // (t[i] - t0) mod 2^shift.  Two tricks keep it low (both reverse-
+  // engineered from system-OpenEXR output, which this encoder now matches
+  // in quality — tests/test_exr_golden.py):
+  //  * anchor the lattice to tMax by adjusting the STORED t0, so the
+  //    largest-exponent pixels (whose t-units are worth the most in
+  //    absolute value) reconstruct near-exactly;
+  //  * round-to-nearest code selection with error feedback, so every
+  //    other pixel lands on its nearest lattice point (<= half a step)
+  //    instead of drifting up to a full step.
+  uint16_t t_max = t[0];
+  for (int i = 1; i < 16; ++i)
+    if (t[i] > t_max) t_max = t[i];
   uint32_t codes[15];
   uint32_t shift = 0;
+  int32_t t0 = t[0];
   for (; shift <= 16; ++shift) {
     const int32_t bias = 0x20 << shift;
+    const int32_t half_step = shift ? (1 << (shift - 1)) : 0;
+    const int32_t mask = (int32_t)((1u << shift) - 1);
+    int32_t res = ((int32_t)t[0] - (int32_t)t_max) & mask;
+    if (res > half_step) res -= (int32_t)(1u << shift);  // nearest anchor
+    t0 = (int32_t)t[0] - res;
+    if (t0 < 0) t0 += 1 << shift;
+    if (t0 > 0xFFFF) t0 -= 1 << shift;
     int32_t recon[16];
-    recon[0] = t[0];
+    recon[0] = t0;
     bool ok = true;
     for (int i = 0; i < 15 && ok; ++i) {
       const int a = chain[i][0], c = chain[i][1];
-      int32_t d = ((int32_t)t[c] - recon[a] + bias) >> shift;
+      int32_t d = ((int32_t)t[c] - recon[a] + bias + half_step) >> shift;
       if (d < 0 || d > 0x3f) {
         ok = false;
         break;
@@ -347,8 +372,8 @@ void b44_pack14(const uint16_t t[16], uint8_t b[14]) {
     if (ok) break;
   }
   if (shift > 16) shift = 16;  // unreachable for valid halves; clamp
-  b[0] = (uint8_t)(t[0] >> 8);
-  b[1] = (uint8_t)(t[0] & 0xff);
+  b[0] = (uint8_t)((uint16_t)t0 >> 8);
+  b[1] = (uint8_t)((uint16_t)t0 & 0xff);
   uint32_t fields[16];
   fields[0] = shift;
   for (int i = 0; i < 15; ++i) fields[i + 1] = codes[i];
