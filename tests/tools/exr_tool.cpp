@@ -68,6 +68,34 @@ int main(int argc, char** argv) {
     }
     return 0;
   }
+  if (!strcmp(argv[1], "writeraw")) {
+    // writeraw <path> <compression> <w> <h> <rgb.bin>: float32 RGB rows.
+    if (argc != 7) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    FILE* in = fopen(argv[6], "rb");
+    if (!in) return 1;
+    Array2D<Rgba> px(h, w);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        float rgb[3];
+        if (fread(rgb, sizeof(rgb), 1, in) != 1) return 1;
+        px[y][x].r = rgb[0];
+        px[y][x].g = rgb[1];
+        px[y][x].b = rgb[2];
+        px[y][x].a = 1.0f;
+      }
+    fclose(in);
+    try {
+      RgbaOutputFile f(argv[2], w, h, WRITE_RGBA, 1.0f, Imath::V2f(0, 0),
+                       1.0f, INCREASING_Y, (Compression)comp);
+      f.setFrameBuffer(&px[0][0], 1, w);
+      f.writePixels(h);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "writeraw failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
   if (!strcmp(argv[1], "dump")) {
     if (argc != 4) return 2;
     try {

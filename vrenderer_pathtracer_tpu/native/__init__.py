@@ -93,8 +93,8 @@ _EXR_ERRORS = {
     2: "not an EXR (bad magic/version)",
     3: "bad header (missing/invalid channels or dataWindow)",
     4: "unsupported feature (deep/multipart, compression beyond "
-       "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A, UINT channels, or no "
-       "R/G/B/Y channels)",
+       "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB, UINT channels, "
+       "or no R/G/B/Y channels)",
     5: "truncated or corrupt pixel data",
 }
 

@@ -19,7 +19,8 @@ HERE = pathlib.Path(__file__).resolve().parent
 CSRC = HERE / "csrc"
 LIB = HERE / "libvtrace_host.so"
 
-SOURCES = ["sbvh.cc", "loaders.cc", "fbx.cc", "exr.cc", "piz.cc", "dense.cc"]
+SOURCES = ["sbvh.cc", "loaders.cc", "fbx.cc", "exr.cc", "piz.cc", "dwa.cc",
+           "dense.cc"]
 CXXFLAGS = [
     "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
     "-Wall", "-Wextra", "-fno-exceptions",

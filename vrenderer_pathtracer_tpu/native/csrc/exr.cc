@@ -3,9 +3,10 @@
 // Host-native counterpart of the reference's HDRI ingestion, which uses the
 // OpenEXR RgbaInputFile API inline in the GL layer
 // (src/NGLScene.cpp:205-231,368-401).  Reads single-part scanline images
-// with HALF or FLOAT channels under NONE / RLE / ZIPS / ZIP / PIZ / PXR24
-// compression — PIZ being what most wild HDRIs use (csrc/piz.cc holds the
-// wavelet+Huffman codec).  Output is planar-interleaved RGB float32 rows
+// with HALF or FLOAT channels under NONE / RLE / ZIPS / ZIP / PIZ / PXR24 /
+// B44 / B44A / DWAA / DWAB compression — the full OpenEXR scanline codec
+// set (csrc/piz.cc holds the wavelet+Huffman codec, csrc/dwa.cc the lossy
+// DCT one).  Output is planar-interleaved RGB float32 rows
 // (top-down, matching the reference's Rgba buffer order).  The writer
 // emits HALF scanlines, uncompressed or PIZ.
 
@@ -20,6 +21,12 @@
 #include <vector>
 
 namespace vtrace {
+
+// csrc/dwa.cc
+bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
+                    const std::vector<std::string>& ch_names,
+                    const std::vector<int>& ch_types, uint8_t* out,
+                    size_t out_size);
 
 // csrc/piz.cc
 bool piz_uncompress(const uint8_t* in, size_t in_len, int nx, int ny,
@@ -309,6 +316,17 @@ bool decode_chunk(uint8_t compression, const std::vector<uint8_t>& packed,
     if (!b44_uncompress(packed.data(), dsize, bw, nlines, channels,
                         ch_offset, ch_size, row_bytes, raw))
       return false;
+  } else if (compression == 8 || compression == 9) {  // DWAA / DWAB
+    std::vector<std::string> names(channels.size());
+    std::vector<int> types(channels.size());
+    for (size_t c = 0; c < channels.size(); ++c) {
+      names[c] = channels[c].name;
+      types[c] = channels[c].type;
+    }
+    raw->resize(want);
+    if (!dwa_uncompress(packed.data(), dsize, bw, nlines, names, types,
+                        raw->data(), want))
+      return false;
   } else {  // ZIPS / ZIP
     raw->resize(want);
     uLongf dst_len = (uLongf)want;
@@ -486,8 +504,11 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
     lines_per_block = 1;
   else if (compression == 3 || compression == 5)
     lines_per_block = 16;
-  else if (compression == 4 || compression == 6 || compression == 7)
+  else if (compression == 4 || compression == 6 || compression == 7 ||
+           compression == 8)
     lines_per_block = 32;
+  else if (compression == 9)  // DWAB
+    lines_per_block = 256;
   else
     return 4;
   if (compression == 1) lines_per_block = 1;

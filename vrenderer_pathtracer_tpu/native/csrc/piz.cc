@@ -733,4 +733,11 @@ bool piz_compress(const uint8_t* in, int nx, int ny,
   return true;
 }
 
+// The DWA codec's STATIC_HUFFMAN AC stream is the same ImfHuf format PIZ
+// uses; csrc/dwa.cc borrows the decoder through this named export.
+bool vt_huf_uncompress(const uint8_t* in, size_t in_len, uint16_t* raw,
+                       size_t n_raw) {
+  return huf_uncompress(in, in_len, raw, n_raw);
+}
+
 }  // namespace vtrace
