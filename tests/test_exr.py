@@ -547,3 +547,15 @@ def test_exr_b44_write_read_roundtrip(tmp_path):
     back = native.load_exr(str(p))
     np.testing.assert_allclose(back, img, rtol=2e-2, atol=2e-3)
     assert p.stat().st_size < 0.8 * 37 * 29 * 3 * 2  # 14B per 16 halves
+
+
+def test_exr_dwaa_roundtrip(tmp_path):
+    """DWAA write/read roundtrip (lossy DCT: smooth content survives to
+    quantization tolerance; csrc/dwa.cc)."""
+    yy, xx = np.mgrid[0:40, 0:72].astype(np.float32)
+    img = np.stack([0.1 + yy / 40, 0.2 + xx / 72, 2.0 - yy / 40], axis=-1)
+    p = tmp_path / "dwaa.exr"
+    native.write_exr(str(p), img, compression="dwaa")
+    back = native.load_exr(str(p))
+    np.testing.assert_allclose(back, img, rtol=0.02, atol=5e-3)
+    assert p.stat().st_size < 40 * 72 * 3 * 2  # beats raw halfs on smooth data

@@ -110,3 +110,16 @@ def test_b44_write_quality_matches_openexr(exr_tool, tmp_path):
     write_exr(f_ours, src, compression="b44")
     our_loss = np.abs(src - _dump(exr_tool, f_ours, tmp_path)).max()
     assert our_loss <= their_loss * 1.5 + 1e-4, (our_loss, their_loss)
+
+
+def test_dwaa_write_read_by_openexr(exr_tool, tmp_path):
+    """The system OpenEXR decodes our DWAA files bit-identically to our own
+    decoder, and close to the source."""
+    rng = np.random.default_rng(3)
+    img = (rng.uniform(0, 1, (41, 67, 3)) ** 2 * 4).astype(np.float32)
+    f = str(tmp_path / "w_dwaa.exr")
+    write_exr(f, img, compression="dwaa")
+    ref = _dump(exr_tool, f, tmp_path)
+    ours = np.asarray(load_exr(f))
+    np.testing.assert_array_equal(ref, ours)
+    assert np.abs(ref - img).max() < 0.06 * max(1.0, img.max())

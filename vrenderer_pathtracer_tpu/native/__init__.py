@@ -278,13 +278,14 @@ def write_exr(path: str, rgb: np.ndarray, compression: str = "none") -> None:
     """Write [H,W,3] float32 as a half EXR.
 
     ``compression`` — "none", "zip" (deflate + half-interleave filter),
-    "piz" (wavelet+Huffman, the common wild format; csrc/piz.cc) or
-    "b44" (lossy fixed-rate 4x4 half blocks)."""
+    "piz" (wavelet+Huffman, the common wild format; csrc/piz.cc),
+    "b44" (lossy fixed-rate 4x4 half blocks) or "dwaa" (lossy DCT;
+    csrc/dwa.cc)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, np.float32)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected [H,W,3], got {rgb.shape}")
-    codes = {"none": 0, "zip": 3, "piz": 4, "b44": 6}
+    codes = {"none": 0, "zip": 3, "piz": 4, "b44": 6, "dwaa": 8}
     if compression not in codes:
         raise ValueError(f"unsupported compression {compression!r}")
     c_fp = ctypes.POINTER(ctypes.c_float)

@@ -47,6 +47,8 @@ namespace vtrace {
 
 bool vt_huf_uncompress(const uint8_t* in, size_t in_len, uint16_t* raw,
                        size_t n_raw);  // csrc/piz.cc
+bool vt_huf_compress(const uint16_t* raw, size_t n,
+                     std::vector<uint8_t>* out);  // csrc/piz.cc
 
 namespace {
 
@@ -433,6 +435,148 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
                   (size_t)w * px_bytes);
     unk_pos += sz;
   }
+  return true;
+}
+
+namespace {
+
+// Forward transfer curve (inverse of to_linear).
+float to_nonlinear(float x) {
+  double a = std::fabs((double)x);
+  double y = a <= 1.0 ? std::pow(a, 1.0 / 2.2) : 1.0 + std::log(a) / 2.2;
+  return (float)(x < 0 ? -y : y);
+}
+
+// Orthonormal forward 8x8 DCT-II (transpose of idct8x8).
+void dct8x8(const float* px, float* F) {
+  static double basis[8][8];
+  static bool init = false;
+  if (!init) {
+    for (int u = 0; u < 8; ++u) {
+      double cu = u == 0 ? 1.0 / std::sqrt(2.0) : 1.0;
+      for (int x = 0; x < 8; ++x)
+        basis[u][x] = cu * std::cos((2 * x + 1) * u * M_PI / 16.0);
+    }
+    init = true;
+  }
+  double tmp[64];
+  for (int y = 0; y < 8; ++y)
+    for (int u = 0; u < 8; ++u) {
+      double s = 0;
+      for (int x = 0; x < 8; ++x) s += px[y * 8 + x] * basis[u][x];
+      tmp[y * 8 + u] = s * 0.5;
+    }
+  for (int u = 0; u < 8; ++u)
+    for (int v = 0; v < 8; ++v) {
+      double s = 0;
+      for (int y = 0; y < 8; ++y) s += tmp[y * 8 + u] * basis[v][y];
+      F[v * 8 + u] = (float)(s * 0.5);
+    }
+}
+
+void zip_filter(std::vector<uint8_t>& d) {  // inverse of unfilter
+  std::vector<uint8_t> t(d.size());
+  const size_t half = (d.size() + 1) / 2;
+  for (size_t i = 0; i < d.size(); ++i)
+    t[(i & 1) ? half + i / 2 : i / 2] = d[i];
+  for (size_t i = t.size(); i-- > 1;)
+    t[i] = (uint8_t)(t[i] - t[i - 1] + 128);
+  d.swap(t);
+}
+
+bool deflate_vec(const std::vector<uint8_t>& in, std::vector<uint8_t>* out) {
+  uLongf dlen = compressBound((uLong)in.size());
+  out->resize(dlen);
+  if (compress(out->data(), &dlen, in.data(), (uLong)in.size()) != Z_OK)
+    return false;
+  out->resize(dlen);
+  return true;
+}
+
+}  // namespace
+
+// Encode `nlines` rows of 3 interleaved-by-plane HALF channels (the
+// writer's layout: per line, B plane then G then R) as one DWA chunk.
+// Mirrors the decoder's verified stream layout; quantization is a simple
+// small-coefficient threshold (|ac| < `quant` in nonlinear space is
+// dropped) — files are somewhat larger than the library's
+// candidate-search encoder produces, but decode identically through both
+// readers (tests/test_exr_golden.py cross-reads them).
+bool dwa_compress_rgb(const uint16_t* rows, int w, int nlines,
+                      std::vector<uint8_t>* out, float quant) {
+  const int nbx = (w + 7) / 8, nby = (nlines + 7) / 8;
+  const size_t n_blocks = (size_t)nbx * nby;
+  const size_t plane_px = n_blocks * 64;
+
+  // Transfer curve + CSC forward into padded Y/Cb/Cr planes
+  // (edge-replicated so edge blocks stay smooth).
+  std::vector<float> Y(plane_px), Cb(plane_px), Cr(plane_px);
+  for (int by = 0; by < nby; ++by)
+    for (int bx = 0; bx < nbx; ++bx)
+      for (int i = 0; i < 64; ++i) {
+        int x = bx * 8 + i % 8, y = by * 8 + i / 8;
+        if (x >= w) x = w - 1;
+        if (y >= nlines) y = nlines - 1;
+        float B = to_nonlinear(half_to_float(rows[((size_t)y * 3) * w + x]));
+        float G =
+            to_nonlinear(half_to_float(rows[((size_t)y * 3 + 1) * w + x]));
+        float R =
+            to_nonlinear(half_to_float(rows[((size_t)y * 3 + 2) * w + x]));
+        float yy = 0.2126f * R + 0.7152f * G + 0.0722f * B;
+        size_t o = ((size_t)by * nbx + bx) * 64 + i;
+        Y[o] = yy;
+        Cb[o] = (B - yy) / 1.8556f;
+        Cr[o] = (R - yy) / 1.5748f;
+      }
+
+  // DCT + quantize; DC planar, AC block-major channel-interleaved.
+  std::vector<uint16_t> dc(3 * n_blocks);
+  std::vector<uint16_t> ac;
+  ac.reserve(n_blocks * 16);
+  const float* planes[3] = {Y.data(), Cb.data(), Cr.data()};
+  for (size_t b = 0; b < n_blocks; ++b)
+    for (int k = 0; k < 3; ++k) {
+      float F[64];
+      dct8x8(planes[k] + b * 64, F);
+      dc[k * n_blocks + b] = float_to_half(F[0]);
+      int run = 0;
+      for (int pos = 1; pos < 64; ++pos) {
+        uint16_t h = float_to_half(F[kZigzag[pos]]);
+        if ((h & 0x7FFF) == 0 || std::fabs(half_to_float(h)) < quant) {
+          ++run;
+          continue;
+        }
+        while (run > 0) {
+          int r = run > 0xFE ? 0xFE : run;
+          ac.push_back((uint16_t)(0xFF00 | r));
+          run -= r;
+        }
+        ac.push_back(h);
+      }
+      if (run > 0) ac.push_back(0xFF00);  // zeros to end of block
+    }
+
+  // Streams.
+  std::vector<uint8_t> ac_cmp;
+  if (!vt_huf_compress(ac.data(), ac.size(), &ac_cmp)) return false;
+  std::vector<uint8_t> dc_bytes((const uint8_t*)dc.data(),
+                                (const uint8_t*)dc.data() + dc.size() * 2);
+  zip_filter(dc_bytes);
+  std::vector<uint8_t> dc_cmp;
+  if (!deflate_vec(dc_bytes, &dc_cmp)) return false;
+
+  // Header + rules (R/G/B LOSSY_DCT with csc indices 0/1/2, HALF).
+  uint64_t hdr[11] = {2, 0, 0, ac_cmp.size(), dc_cmp.size(), 0, 0,
+                      0, ac.size(), dc.size(), 0};
+  const uint8_t rules[] = {
+      14, 0,  // total size (self-inclusive)
+      'R', 0, 0x14, 1, 'G', 0, 0x24, 1, 'B', 0, 0x34, 1,
+  };
+  out->clear();
+  out->insert(out->end(), (const uint8_t*)hdr, (const uint8_t*)hdr + 88);
+  out->insert(out->end(), rules, rules + sizeof(rules));
+  out->insert(out->end(), ac_cmp.begin(), ac_cmp.end());
+  out->insert(out->end(), dc_cmp.begin(), dc_cmp.end());
   return true;
 }
 

@@ -27,6 +27,8 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
                     const std::vector<std::string>& ch_names,
                     const std::vector<int>& ch_types, uint8_t* out,
                     size_t out_size);
+bool dwa_compress_rgb(const uint16_t* rows, int w, int nlines,
+                      std::vector<uint8_t>* out, float quant);
 
 // csrc/piz.cc
 bool piz_uncompress(const uint8_t* in, size_t in_len, int nx, int ny,
@@ -663,12 +665,12 @@ corrupt:
 }
 
 // Write [h*w*3] float32 RGB as a HALF scanline EXR.
-// compression: 0 = NONE, 3 = ZIP, 4 = PIZ, 6 = B44 (lossy).  Returns
-// 0 ok, 1 open, 4 unsupported.
+// compression: 0 = NONE, 3 = ZIP, 4 = PIZ, 6 = B44 (lossy),
+// 8 = DWAA (lossy DCT).  Returns 0 ok, 1 open, 4 unsupported.
 int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    int compression) {
   if (compression != 0 && compression != 3 && compression != 4 &&
-      compression != 6)
+      compression != 6 && compression != 8)
     return 4;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
@@ -713,8 +715,9 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
 
   const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
   const int lines_per_block =
-      (compression == 4 || compression == 6) ? 32
-                                             : (compression == 3 ? 16 : 1);
+      (compression == 4 || compression == 6 || compression == 8)
+          ? 32
+          : (compression == 3 ? 16 : 1);
   const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
 
   // Prepare per-block payloads first (offset table precedes the data).
@@ -739,6 +742,13 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
       std::vector<uint8_t> out;
       b44_compress(rows.data(), w, nlines, &out);
       if (out.size() >= want)
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      blocks[b].swap(out);
+    } else if (compression == 8) {  // DWAA (lossy DCT)
+      std::vector<uint8_t> out;
+      if (!dwa_compress_rgb(rows.data(), w, nlines, &out, 1e-3f) ||
+          out.size() >= want)
         out.assign((const uint8_t*)rows.data(),
                    (const uint8_t*)rows.data() + want);
       blocks[b].swap(out);

@@ -734,10 +734,14 @@ bool piz_compress(const uint8_t* in, int nx, int ny,
 }
 
 // The DWA codec's STATIC_HUFFMAN AC stream is the same ImfHuf format PIZ
-// uses; csrc/dwa.cc borrows the decoder through this named export.
+// uses; csrc/dwa.cc borrows the codec through these named exports.
 bool vt_huf_uncompress(const uint8_t* in, size_t in_len, uint16_t* raw,
                        size_t n_raw) {
   return huf_uncompress(in, in_len, raw, n_raw);
+}
+
+bool vt_huf_compress(const uint16_t* raw, size_t n, std::vector<uint8_t>* out) {
+  return huf_compress(raw, n, out);
 }
 
 }  // namespace vtrace
