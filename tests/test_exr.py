@@ -559,3 +559,13 @@ def test_exr_dwaa_roundtrip(tmp_path):
     back = native.load_exr(str(p))
     np.testing.assert_allclose(back, img, rtol=0.02, atol=5e-3)
     assert p.stat().st_size < 40 * 72 * 3 * 2  # beats raw halfs on smooth data
+
+
+def test_exr_dwab_roundtrip(tmp_path):
+    """DWAB: same stream as DWAA at 256-line chunks (one chunk here)."""
+    yy, xx = np.mgrid[0:40, 0:72].astype(np.float32)
+    img = np.stack([0.1 + yy / 40, 0.2 + xx / 72, 2.0 - yy / 40], axis=-1)
+    p = tmp_path / "dwab.exr"
+    native.write_exr(str(p), img, compression="dwab")
+    back = native.load_exr(str(p))
+    np.testing.assert_allclose(back, img, rtol=0.02, atol=5e-3)

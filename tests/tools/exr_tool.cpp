@@ -7,15 +7,20 @@
 // production build; tests compile it on demand and skip when the library
 // is unavailable (tests/test_exr_golden.py).
 //
-//   exr_tool write <path> <compression 0..9> <w> <h>   deterministic RGB
-//   exr_tool dump  <path> <out.bin>                    RGB float32 rows
-//   exr_tool check <path>                              exit 0 if readable
+//   exr_tool write    <path> <compression 0..9> <w> <h>  deterministic RGB
+//   exr_tool writef   <path> <compression> <w> <h>        FLOAT channels
+//   exr_tool writeraw <path> <compression> <w> <h> <bin>  custom float RGB
+//   exr_tool dump     <path> <out.bin>                    RGB float32 rows
 //
 // Pixel pattern: reproducible mix of gradients, a bright disc, and
 // pseudo-random texture — exercises flat blocks (B44A), wide dynamic range
 // (PIZ/DWA quantization) and negative values.
 
 #include <ImfArray.h>
+#include <ImfChannelList.h>
+#include <ImfFrameBuffer.h>
+#include <ImfHeader.h>
+#include <ImfOutputFile.h>
 #include <ImfRgba.h>
 #include <ImfRgbaFile.h>
 
@@ -23,6 +28,7 @@
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <vector>
 
 using namespace Imf;
 
@@ -121,11 +127,33 @@ int main(int argc, char** argv) {
     }
     return 0;
   }
-  if (!strcmp(argv[1], "check")) {
+  if (!strcmp(argv[1], "writef")) {
+    // writef <path> <compression> <w> <h>: FLOAT R/G/B channels through
+    // the general-purpose API (exercises FLOAT-typed channel rules).
+    if (argc != 6) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    std::vector<float> r(w * h), g(w * h), b(w * h);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        r[y * w + x] = pattern(x, y, w, h, 0);
+        g[y * w + x] = pattern(x, y, w, h, 1);
+        b[y * w + x] = pattern(x, y, w, h, 2);
+      }
     try {
-      RgbaInputFile f(argv[2]);
-      (void)f.dataWindow();
-    } catch (...) {
+      Header hd(w, h);
+      hd.compression() = (Compression)comp;
+      hd.channels().insert("R", Channel(FLOAT));
+      hd.channels().insert("G", Channel(FLOAT));
+      hd.channels().insert("B", Channel(FLOAT));
+      OutputFile f(argv[2], hd);
+      FrameBuffer fb;
+      fb.insert("R", Slice(FLOAT, (char*)r.data(), 4, 4 * (size_t)w));
+      fb.insert("G", Slice(FLOAT, (char*)g.data(), 4, 4 * (size_t)w));
+      fb.insert("B", Slice(FLOAT, (char*)b.data(), 4, 4 * (size_t)w));
+      f.setFrameBuffer(fb);
+      f.writePixels(h);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "writef failed: %s\n", e.what());
       return 1;
     }
     return 0;

@@ -128,8 +128,9 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     n8f_view = n8f_all.reshape(n_pages, np16, 8, 16, 8)  # [p,tile,c,m,k]
     n8f_view[..., 0:3] = 3e38   # empty boxes: inverted, slab tests miss
     n8f_view[..., 3:6] = -3e38
+    # (Record rows need no global init: every page's rows are fully
+    # overwritten by `enc` below, empties included.)
     n8i_all = np.zeros((n_pages, nir8, 128), np.int32)
-    n8i_all[:, :, 1::2] = -1  # counts: empty
     pack_all = np.zeros((n_pages, rp8, 128), np.float32)
     for p in range(n_pages):
         m = pages_8i[p].shape[0]

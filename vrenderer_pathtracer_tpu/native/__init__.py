@@ -279,13 +279,13 @@ def write_exr(path: str, rgb: np.ndarray, compression: str = "none") -> None:
 
     ``compression`` — "none", "zip" (deflate + half-interleave filter),
     "piz" (wavelet+Huffman, the common wild format; csrc/piz.cc),
-    "b44" (lossy fixed-rate 4x4 half blocks) or "dwaa" (lossy DCT;
-    csrc/dwa.cc)."""
+    "b44" (lossy fixed-rate 4x4 half blocks), "dwaa" or "dwab" (lossy
+    DCT at 32/256-line chunks; csrc/dwa.cc)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, np.float32)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected [H,W,3], got {rgb.shape}")
-    codes = {"none": 0, "zip": 3, "piz": 4, "b44": 6, "dwaa": 8}
+    codes = {"none": 0, "zip": 3, "piz": 4, "b44": 6, "dwaa": 8, "dwab": 9}
     if compression not in codes:
         raise ValueError(f"unsupported compression {compression!r}")
     c_fp = ctypes.POINTER(ctypes.c_float)

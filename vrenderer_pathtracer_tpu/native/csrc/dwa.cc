@@ -49,68 +49,16 @@ bool vt_huf_uncompress(const uint8_t* in, size_t in_len, uint16_t* raw,
                        size_t n_raw);  // csrc/piz.cc
 bool vt_huf_compress(const uint16_t* raw, size_t n,
                      std::vector<uint8_t>* out);  // csrc/piz.cc
+float vt_half_to_float(uint16_t h);   // csrc/exr.cc
+uint16_t vt_float_to_half(float f);   // csrc/exr.cc
+void vt_exr_unfilter(std::vector<uint8_t>& data);          // csrc/exr.cc
+bool vt_exr_rle_decode(const uint8_t* in, size_t n, size_t want,
+                       std::vector<uint8_t>* out);         // csrc/exr.cc
 
 namespace {
 
-// ---- half <-> float ------------------------------------------------------
-
-float half_to_float(uint16_t h) {
-  uint32_t sign = (uint32_t)(h >> 15) << 31;
-  uint32_t exp = (h >> 10) & 0x1F;
-  uint32_t man = h & 0x3FF;
-  uint32_t bits;
-  if (exp == 0) {
-    if (man == 0) {
-      bits = sign;
-    } else {  // subnormal
-      int e = -1;
-      uint32_t m = man;
-      while (!(m & 0x400)) {
-        m <<= 1;
-        --e;
-      }
-      bits = sign | (uint32_t)(127 - 15 + e + 1) << 23 | ((m & 0x3FF) << 13);
-    }
-  } else if (exp == 31) {
-    bits = sign | 0x7F800000 | (man << 13);
-  } else {
-    bits = sign | ((exp - 15 + 127) << 23) | (man << 13);
-  }
-  float f;
-  std::memcpy(&f, &bits, 4);
-  return f;
-}
-
-uint16_t float_to_half(float f) {
-  uint32_t bits;
-  std::memcpy(&bits, &f, 4);
-  uint16_t sign = (uint16_t)((bits >> 16) & 0x8000);
-  int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
-  uint32_t man = bits & 0x7FFFFF;
-  if (((bits >> 23) & 0xFF) == 0xFF) return (uint16_t)(sign | 0x7C00 | (man ? 0x200 : 0));
-  if (exp >= 31) return (uint16_t)(sign | 0x7C00);
-  if (exp <= 0) {
-    if (exp < -10) return sign;
-    man |= 0x800000;
-    int shift = 14 - exp;
-    uint32_t v = man >> shift;
-    uint32_t rem = man & ((1u << shift) - 1);
-    uint32_t half_bit = 1u << (shift - 1);
-    if (rem > half_bit || (rem == half_bit && (v & 1))) ++v;
-    return (uint16_t)(sign | v);
-  }
-  uint32_t v = man >> 13;
-  uint32_t rem = man & 0x1FFF;
-  if (rem > 0x1000 || (rem == 0x1000 && (v & 1))) {
-    ++v;
-    if (v == 0x400) {
-      v = 0;
-      ++exp;
-      if (exp >= 31) return (uint16_t)(sign | 0x7C00);
-    }
-  }
-  return (uint16_t)(sign | ((uint32_t)exp << 10) | v);
-}
+inline float half_to_float(uint16_t h) { return vt_half_to_float(h); }
+inline uint16_t float_to_half(float f) { return vt_float_to_half(f); }
 
 // DWA transfer curve (see module comment).
 float to_linear(float x) {
@@ -130,38 +78,6 @@ bool inflate_to(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
   return dlen == want;
 }
 
-// The EXR zip post-filter: delta-decode then de-interleave (same as the
-// ZIP scanline codec; the DWA DC stream uses it too).
-void unfilter(std::vector<uint8_t>& d) {
-  for (size_t i = 1; i < d.size(); ++i)
-    d[i] = (uint8_t)(d[i] + d[i - 1] - 128);
-  std::vector<uint8_t> t(d.size());
-  size_t half = (d.size() + 1) / 2;
-  for (size_t i = 0; i < d.size(); ++i)
-    t[i] = (i & 1) ? d[half + i / 2] : d[i / 2];
-  d.swap(t);
-}
-
-bool exr_rle_decode(const uint8_t* in, size_t n, std::vector<uint8_t>* out,
-                    size_t want) {
-  out->clear();
-  out->reserve(want);
-  size_t p = 0;
-  while (p < n && out->size() < want) {
-    int8_t c = (int8_t)in[p++];
-    if (c < 0) {
-      size_t cnt = (size_t)(-c);
-      if (p + cnt > n) return false;
-      out->insert(out->end(), in + p, in + p + cnt);
-      p += cnt;
-    } else {
-      if (p >= n) return false;
-      out->insert(out->end(), (size_t)c + 1, in[p++]);
-    }
-  }
-  return out->size() == want;
-}
-
 // JPEG zigzag order: zigzag[i] = raster index of the i-th coefficient.
 constexpr int kZigzag[64] = {
     0,  1,  8,  16, 9,  2,  3,  10, 17, 24, 32, 25, 18, 11, 4,  5,
@@ -170,17 +86,22 @@ constexpr int kZigzag[64] = {
     58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63};
 
 // Orthonormal 8x8 inverse DCT-II (JPEG normalization: DC = 8 * mean).
-void idct8x8(const float* F, float* out) {
-  static double basis[8][8];  // basis[u][x] = C(u) * cos((2x+1) u pi / 16)
-  static bool init = false;
-  if (!init) {
+struct DctBasis {
+  double b[8][8];  // b[u][x] = C(u) * cos((2x+1) u pi / 16)
+  DctBasis() {
     for (int u = 0; u < 8; ++u) {
       double cu = u == 0 ? 1.0 / std::sqrt(2.0) : 1.0;
       for (int x = 0; x < 8; ++x)
-        basis[u][x] = cu * std::cos((2 * x + 1) * u * M_PI / 16.0);
+        b[u][x] = cu * std::cos((2 * x + 1) * u * M_PI / 16.0);
     }
-    init = true;
   }
+};
+
+void idct8x8(const float* F, float* out) {
+  // Magic static: thread-safe init (ctypes releases the GIL, so two
+  // Python threads can decode concurrently).
+  static const DctBasis kb;
+  const auto& basis = kb.b;
   double tmp[64];
   for (int y = 0; y < 8; ++y)  // rows: over u
     for (int x = 0; x < 8; ++x) {
@@ -200,14 +121,16 @@ struct Rule {
   std::string suffix;
   int scheme = 0;  // 0 UNKNOWN, 1 LOSSY_DCT, 2 RLE
   int csc = -1;    // 0 R, 1 G, 2 B within a color set
+  int type = 1;    // 0 UINT, 1 HALF, 2 FLOAT
 };
 
 }  // namespace
 
 // Decode one DWA chunk into the standard raw scanline layout (per line,
 // channels in file order).  `ch_names`/`ch_types` follow the file channel
-// list; only HALF channels are supported for LOSSY_DCT/RLE (the Rgba-path
-// files the reference reads are HALF throughout).
+// list; HALF and FLOAT channels decode under LOSSY_DCT/UNKNOWN (FLOAT
+// lossy output is the library's half-LUT value widened); RLE is
+// HALF-only.
 bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
                     const std::vector<std::string>& ch_names,
                     const std::vector<int>& ch_types, uint8_t* out,
@@ -238,12 +161,29 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
       uint8_t v = in[rp++];
       r.csc = (int)(v >> 4) - 1;
       r.scheme = (v >> 2) & 3;
-      ++rp;  // rule pixel type (unused: we match by name only)
+      r.type = in[rp++];  // rule pixel type (rules are per name AND type)
       rules.push_back(std::move(r));
     }
     p = rend;
   }
-  if (p + ac_cmp + dc_cmp + rle_cmp + unk_cmp > in_len) return false;
+  // Every size/count is attacker-controlled: bound each individually
+  // against the input and the pixel budget BEFORE any allocation (a sum
+  // can wrap in uint64, and with -fno-exceptions an oversized vector
+  // aborts the process instead of surfacing error 5).
+  const int nbx = (w + 7) / 8, nby = (nlines + 7) / 8;
+  const size_t n_blocks = (size_t)nbx * nby;
+  const size_t max_plane_bytes = (size_t)n_ch * w * nlines * 4 + 64;
+  if (ac_cmp > in_len || dc_cmp > in_len || rle_cmp > in_len ||
+      unk_cmp > in_len)
+    return false;
+  if (p + ac_cmp > in_len || p + ac_cmp + dc_cmp > in_len ||
+      p + ac_cmp + dc_cmp + rle_cmp > in_len ||
+      p + ac_cmp + dc_cmp + rle_cmp + unk_cmp > in_len)
+    return false;
+  if (ac_cnt > (size_t)n_ch * n_blocks * 64 ||
+      dc_cnt > (size_t)n_ch * n_blocks || rle_raw > max_plane_bytes ||
+      rle_unc > 2 * max_plane_bytes || unk_unc > max_plane_bytes)
+    return false;
   const uint8_t* ac_ptr = in + p;
   const uint8_t* dc_ptr = ac_ptr + ac_cmp;
   const uint8_t* rle_ptr = dc_ptr + dc_cmp;
@@ -263,28 +203,34 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
   std::vector<uint8_t> dc;
   if (dc_cnt) {
     if (!inflate_to(dc_ptr, dc_cmp, &dc, dc_cnt * 2)) return false;
-    unfilter(dc);
+    vt_exr_unfilter(dc);
   }
   std::vector<uint8_t> rle;
   if (rle_raw) {
     std::vector<uint8_t> tmp;
     if (!inflate_to(rle_ptr, rle_cmp, &tmp, rle_unc)) return false;
-    if (!exr_rle_decode(tmp.data(), tmp.size(), &rle, rle_raw)) return false;
+    if (!vt_exr_rle_decode(tmp.data(), tmp.size(), rle_raw, &rle))
+      return false;
   }
   std::vector<uint8_t> unk;
   if (unk_unc && !inflate_to(unk_ptr, unk_cmp, &unk, unk_unc)) return false;
 
   // ---- classify channels -------------------------------------------------
+  // Rules are keyed by (name suffix, pixel type); FLOAT channels can be
+  // LOSSY_DCT too (the library DCTs them through the same half
+  // coefficients and widens on output).  FLOAT under the RLE scheme has
+  // no defined layout here — refuse rather than decode garbage.
   std::vector<int> scheme(n_ch, 0), csc(n_ch, -1);
   for (int c = 0; c < n_ch; ++c) {
     const std::string& n = ch_names[c];
     std::string suffix = n.substr(n.find_last_of('.') + 1);
     for (const Rule& r : rules)
-      if (suffix == r.suffix) {
-        scheme[c] = ch_types[c] == 1 ? r.scheme : 0;
+      if (suffix == r.suffix && r.type == ch_types[c]) {
+        scheme[c] = r.scheme;
         csc[c] = r.csc;
         break;
       }
+    if (scheme[c] == 2 && ch_types[c] != 1) return false;
   }
   // Complete R/G/B sets (one per layer prefix; file order otherwise).
   std::vector<int> set_of(n_ch, -1);
@@ -304,9 +250,7 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
   }
 
   // ---- LOSSY_DCT planes ----------------------------------------------------
-  const int nbx = (w + 7) / 8, nby = (nlines + 7) / 8;
-  const size_t n_blocks = (size_t)nbx * nby;
-  const size_t plane_px = (size_t)nbx * nby * 64;
+  const size_t plane_px = n_blocks * 64;
   size_t ac_pos = 0, dc_pos = 0;
 
   size_t row_bytes = 0;
@@ -350,6 +294,19 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
   auto store_half = [&](int c, int x, int y, uint16_t h) {
     std::memcpy(out + (size_t)y * row_bytes + ch_off[c] + (size_t)x * 2, &h, 2);
   };
+  // Lossy-channel store: the decoded value is the half the library's LUT
+  // produces; FLOAT channels receive that half widened to float32.
+  auto store_lossy = [&](int c, int x, int y, float v) {
+    uint16_t h = float_to_half(to_linear(half_to_float(float_to_half(v))));
+    if (ch_types[c] == 1) {
+      std::memcpy(out + (size_t)y * row_bytes + ch_off[c] + (size_t)x * 2,
+                  &h, 2);
+    } else {
+      float f = half_to_float(h);
+      std::memcpy(out + (size_t)y * row_bytes + ch_off[c] + (size_t)x * 4,
+                  &f, 4);
+    }
+  };
 
   std::vector<std::vector<float>> planes;  // scratch per set
   std::vector<bool> done(n_ch, false);
@@ -378,9 +335,7 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
             float G = Y - 0.1873f * Cb - 0.4682f * Cr;
             float B = Y + 1.8556f * Cb;
             const float rgb[3] = {R, G, B};
-            for (int k = 0; k < 3; ++k)
-              store_half(m[k], x, y, float_to_half(to_linear(
-                                         half_to_float(float_to_half(rgb[k])))));
+            for (int k = 0; k < 3; ++k) store_lossy(m[k], x, y, rgb[k]);
           }
         }
     } else {
@@ -395,8 +350,7 @@ bool dwa_uncompress(const uint8_t* in, size_t in_len, int w, int nlines,
           for (int i = 0; i < 64; ++i) {
             int x = bx * 8 + i % 8, y = by * 8 + i / 8;
             if (x >= w || y >= nlines) continue;
-            store_half(c, x, y, float_to_half(to_linear(half_to_float(
-                                    float_to_half(plane[base + i])))));
+            store_lossy(c, x, y, plane[base + i]);
           }
         }
     }
@@ -449,16 +403,8 @@ float to_nonlinear(float x) {
 
 // Orthonormal forward 8x8 DCT-II (transpose of idct8x8).
 void dct8x8(const float* px, float* F) {
-  static double basis[8][8];
-  static bool init = false;
-  if (!init) {
-    for (int u = 0; u < 8; ++u) {
-      double cu = u == 0 ? 1.0 / std::sqrt(2.0) : 1.0;
-      for (int x = 0; x < 8; ++x)
-        basis[u][x] = cu * std::cos((2 * x + 1) * u * M_PI / 16.0);
-    }
-    init = true;
-  }
+  static const DctBasis kb;  // magic static: thread-safe init
+  const auto& basis = kb.b;
   double tmp[64];
   for (int y = 0; y < 8; ++y)
     for (int u = 0; u < 8; ++u) {

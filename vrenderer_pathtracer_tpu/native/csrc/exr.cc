@@ -69,14 +69,38 @@ float half_to_float(uint16_t h) {
 }
 
 uint16_t float_to_half(float f) {
+  // Round-to-nearest-even with subnormal support (matches the library's
+  // half conversion; a truncating version loses up to one ULP on every
+  // written sample and broke DWA bit-parity — tests/test_exr_golden.py).
   uint32_t bits;
   std::memcpy(&bits, &f, 4);
-  uint32_t sign = (bits >> 16) & 0x8000;
+  uint16_t sign = (uint16_t)((bits >> 16) & 0x8000);
   int32_t exp = (int32_t)((bits >> 23) & 0xFF) - 127 + 15;
   uint32_t mant = bits & 0x7FFFFF;
-  if (exp <= 0) return (uint16_t)sign;  // flush to zero
+  if (((bits >> 23) & 0xFF) == 0xFF)  // inf / nan
+    return (uint16_t)(sign | 0x7C00 | (mant ? 0x200 : 0));
   if (exp >= 31) return (uint16_t)(sign | 0x7C00);
-  return (uint16_t)(sign | (exp << 10) | (mant >> 13));
+  if (exp <= 0) {
+    if (exp < -10) return sign;  // underflows to zero even after rounding
+    mant |= 0x800000;
+    int shift = 14 - exp;
+    uint32_t v = mant >> shift;
+    uint32_t rem = mant & ((1u << shift) - 1);
+    uint32_t half_bit = 1u << (shift - 1);
+    if (rem > half_bit || (rem == half_bit && (v & 1))) ++v;
+    return (uint16_t)(sign | v);
+  }
+  uint32_t v = mant >> 13;
+  uint32_t rem = mant & 0x1FFF;
+  if (rem > 0x1000 || (rem == 0x1000 && (v & 1))) {
+    ++v;
+    if (v == 0x400) {
+      v = 0;
+      ++exp;
+      if (exp >= 31) return (uint16_t)(sign | 0x7C00);
+    }
+  }
+  return (uint16_t)(sign | ((uint32_t)exp << 10) | v);
 }
 
 struct Channel {
@@ -435,6 +459,17 @@ void b44_compress(const uint16_t* rows, int w, int nlines,
 
 }  // namespace
 
+// Named exports shared with csrc/dwa.cc (the DWA DC stream uses the same
+// zip post-filter, its RLE channels the same byte RLE, and coefficients
+// the same half conversions) — one implementation each, not copies.
+float vt_half_to_float(uint16_t h) { return half_to_float(h); }
+uint16_t vt_float_to_half(float f) { return float_to_half(f); }
+void vt_exr_unfilter(std::vector<uint8_t>& data) { exr_unfilter(data); }
+bool vt_exr_rle_decode(const uint8_t* in, size_t n, size_t want,
+                       std::vector<uint8_t>* out) {
+  return rle_decode(in, n, want, out);
+}
+
 extern "C" {
 
 // Read an EXR into [h*w*3] float32 RGB (top-down). Returns 0 on success,
@@ -666,11 +701,12 @@ corrupt:
 
 // Write [h*w*3] float32 RGB as a HALF scanline EXR.
 // compression: 0 = NONE, 3 = ZIP, 4 = PIZ, 6 = B44 (lossy),
-// 8 = DWAA (lossy DCT).  Returns 0 ok, 1 open, 4 unsupported.
+// 8 = DWAA / 9 = DWAB (lossy DCT, 32/256-line chunks).
+// Returns 0 ok, 1 open, 4 unsupported.
 int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    int compression) {
   if (compression != 0 && compression != 3 && compression != 4 &&
-      compression != 6 && compression != 8)
+      compression != 6 && compression != 8 && compression != 9)
     return 4;
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
@@ -715,9 +751,11 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
 
   const size_t row_bytes = (size_t)w * 2 * 3;  // 3 half channels
   const int lines_per_block =
-      (compression == 4 || compression == 6 || compression == 8)
-          ? 32
-          : (compression == 3 ? 16 : 1);
+      compression == 9
+          ? 256
+          : (compression == 4 || compression == 6 || compression == 8)
+                ? 32
+                : (compression == 3 ? 16 : 1);
   const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
 
   // Prepare per-block payloads first (offset table precedes the data).
@@ -745,7 +783,7 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
         out.assign((const uint8_t*)rows.data(),
                    (const uint8_t*)rows.data() + want);
       blocks[b].swap(out);
-    } else if (compression == 8) {  // DWAA (lossy DCT)
+    } else if (compression == 8 || compression == 9) {  // DWAA / DWAB
       std::vector<uint8_t> out;
       if (!dwa_compress_rgb(rows.data(), w, nlines, &out, 1e-3f) ||
           out.size() >= want)
