@@ -153,3 +153,45 @@ def test_deferred_table_grads_match_xla(mesh):
         scale = np.abs(b).max()
         frac = (np.abs(a - b) > 1e-3 * scale).mean()
         assert frac <= 0.02, f"{frac:.3%} grad entries diverge"
+
+
+def test_out_of_range_uv_parity(tmp_path):
+    """Assets legitimately carry uv outside [0,1) (tiled/offset layouts);
+    the kernel must fetch them through the SAME wrap semantics as the XLA
+    wavefront rather than treating negative u as its old in-band
+    'no texture' sentinel."""
+    p = tmp_path / "sphere.obj"
+    write_uv_sphere(p, radius=12.0, n_theta=8, n_phi=12)
+    host = load_obj(str(p))
+    host = host._replace(uvs=(host.uvs * 2.0 - 0.7).astype(host.uvs.dtype))
+    shifted = pack_mesh(host)
+
+    rng = np.random.default_rng(11)
+    hdr = jnp.asarray(rng.uniform(0, 1.5, (8, 16, 3)).astype(np.float32))
+    tex = jnp.asarray(rng.uniform(0.1, 1.0, (16, 16, 3)).astype(np.float32))
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=False, has_hdr=True, has_mesh=True,
+        has_diffuse_map=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(False), mesh=shifted, hdr=hdr,
+                  diffuse_map=tex)
+    assert supports(scene, settings)
+    rgb = _compare(scene, settings)
+    assert rgb.mean() > 0.01
+
+
+def test_supports_rejects_out_of_scope_spheres(mesh):
+    """BRDF-typed or non-gray-specular custom spheres are outside the
+    kernel's shading scope and must fall back to the XLA wavefront."""
+    from vrenderer_pathtracer_tpu.scene.spheres import BRDF
+
+    base = RenderSettings(width=W, height=H, use_cornell_box=True,
+                          has_hdr=False, has_mesh=True)
+    spheres = build_sphere_set(True)
+    assert supports(Scene(spheres=spheres, mesh=mesh), base)
+    brdf_spheres = spheres._replace(
+        refl=spheres.refl.at[0].set(BRDF))
+    assert not supports(Scene(spheres=brdf_spheres, mesh=mesh), base)
+    tinted = spheres._replace(
+        spec_color=spheres.spec_color.at[0].set(jnp.asarray([1.0, 0.5, 0.2])))
+    assert not supports(Scene(spheres=tinted, mesh=mesh), base)

@@ -50,11 +50,23 @@ def pack_mesh(mesh: HostMesh, pad_to: int = 128, paged: bool | None = None) -> M
     the Pallas packet kernel; True/False force the choice.
     """
     if paged is None:
-        from vrenderer_pathtracer_tpu.accel.pallas_traverse import VMEM_BUDGET_BYTES
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+            VMEM_BUDGET_BYTES, fits_vmem)
 
         # Rough single-level footprint: nodes ~ tris/3 (x64B) + 3x12B/tri.
+        # This pre-estimate only avoids building a doomed giant SBVH; the
+        # BINDING decision uses fits_vmem on the ACTUAL packed mesh, the
+        # same predicate settings_for_scene applies later — an optimistic
+        # estimate here used to let mid-size meshes pack single-level only
+        # to be bounced to the ~300x slower XLA lockstep traversal at
+        # scene-resolution time instead of going paged.
         est = 64 * (len(mesh.tris) // 3 + 1) + 3 * 16 * int(1.3 * len(mesh.tris))
-        paged = est >= VMEM_BUDGET_BYTES
+        if est < VMEM_BUDGET_BYTES:
+            built = pack_from_bvh(mesh, build_sbvh(mesh.verts, mesh.tris),
+                                  pad_to)
+            if fits_vmem(built):
+                return built
+        paged = True
     if paged:
         from vrenderer_pathtracer_tpu.accel.paged import pack_mesh_paged
 

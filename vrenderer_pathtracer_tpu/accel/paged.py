@@ -126,7 +126,7 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     rp8 = max(pk.shape[0] for pk in pages_pack)
     n8f_all = np.zeros((n_pages, np16 * 8, 128), np.float32)
     n8f_view = n8f_all.reshape(n_pages, np16, 8, 16, 8)  # [p,tile,c,m,k]
-    n8f_view[..., 0:3] = 3e38   # empty boxes: inverted, slab tests miss
+    n8f_view[..., 0:3] = 3e38   # empty boxes: inverted (cosmetic; count gates exclude them)
     n8f_view[..., 3:6] = -3e38
     # (Record rows need no global init: every page's rows are fully
     # overwritten by `enc` below, empties included.)

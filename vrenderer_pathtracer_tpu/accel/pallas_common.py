@@ -86,7 +86,8 @@ def make_slab_any(o, inv, t_out):
 def root_exit_clamp_wide(o, d, t_max, root_boxes):
     """root_exit_clamp for the 8-wide layout: root box = union of the root
     node's child boxes (``root_boxes`` = the root's (8,>=6) box block;
-    empty slots carry inverted boxes and never win)."""
+    empty slots carry inverted boxes, which the per-axis min/max here
+    ignores by construction)."""
     inv = safe_inv(d)
     lo = [root_boxes[0, 0], root_boxes[0, 1], root_boxes[0, 2]]
     hi = [root_boxes[0, 3], root_boxes[0, 4], root_boxes[0, 5]]

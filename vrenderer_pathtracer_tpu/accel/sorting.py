@@ -94,5 +94,7 @@ def sorted_traverse(search, mesh, ray_o, ray_d, t_max):
     keys = jnp.where(t_max > 0.0, keys, jnp.uint32(0xFFFFFFFF))
     perm = jnp.argsort(keys)
     slot_s, t_s = search(mesh, ray_o[perm], ray_d[perm], t_max[perm])
-    inv = jnp.argsort(perm)
+    # Invert with one O(B) scatter, not a second sort.
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=perm.dtype))
     return slot_s[inv], t_s[inv]

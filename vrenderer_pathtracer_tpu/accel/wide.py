@@ -18,7 +18,11 @@ to one axis).
 
 Encoding (``nodes8_i[n] = 8 x (ref, count)``): count 0 -> inner child,
 ``ref`` is a wide-node id; count > 0 -> leaf of ``count`` tri slots at
-``ref``; count < 0 -> empty slot (its AABB is inverted so slab tests miss).
+``ref``; count < 0 -> empty slot.  Empty slots are EXCLUDED by the count
+gates in every consumer (leaf calls need count > 0, pushes need count ==
+0) — NOT by their inverted AABB: the min/max-swapped slab test reports a
+hit for an inverted box, so a consumer reading the vote bits without a
+count gate would descend phantom children.
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
 
     Returns ``(nodes8_f [N,48], nodes8_i [N,16], nodes8_ax [N], max_depth)``.
     Child boxes are stored as (lo3, hi3) per slot; empty slots carry an
-    inverted box.  Greedy collapse: starting from a binary node's two
+    inverted box (cosmetic only — exclusion is by count, see module doc).  Greedy collapse: starting from a binary node's two
     children, repeatedly expand the largest-area inner child until eight
     slots are filled or only leaves remain.
     """
@@ -122,10 +126,8 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
                 lo, hi, ref, cnt = slots[c]
                 nodes8_f[w * 8 + c, 0:3] = lo
                 nodes8_f[w * 8 + c, 3:6] = hi
-                nodes8_i[w, 2 * c] = ref if cnt == 0 else ref
+                nodes8_i[w, 2 * c] = wide_of_bin[ref] if cnt == 0 else ref
                 nodes8_i[w, 2 * c + 1] = cnt
-                if cnt == 0:
-                    nodes8_i[w, 2 * c] = wide_of_bin[ref]
             else:
                 nodes8_f[w * 8 + c, 0:6] = _EMPTY_BOX
                 nodes8_i[w, 2 * c] = 0

@@ -74,6 +74,19 @@ def _check_divisible(settings: RenderSettings, mesh: Mesh):
             f"samples_per_pass={settings.samples_per_pass} not divisible by "
             f"{n_samp} sample shards"
         )
+    if settings.radiance_kernel in ("pallas", "pallas_mesh"):
+        # A RESOLVED megakernel must actually run: _shard_pass dispatches
+        # per shard on tile_px % 1024, and a silent drop to the XLA
+        # wavefront is exactly the round-1 bench footgun the resolution
+        # step exists to prevent.
+        tile_px = settings.n_pixels // n_tiles
+        if tile_px % 1024:
+            raise ValueError(
+                f"radiance_kernel={settings.radiance_kernel!r} resolved but "
+                f"tile_px={tile_px} is not a multiple of 1024; pick a tile "
+                f"count whose shards are 1024-pixel multiples or force "
+                f"radiance_kernel='xla'"
+            )
 
 
 def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,

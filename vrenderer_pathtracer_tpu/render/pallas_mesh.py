@@ -73,7 +73,8 @@ from vrenderer_pathtracer_tpu.ops.envmap import sample_env_bilinear, sample_env_
 from vrenderer_pathtracer_tpu.ops.intersect import INF, SPHERE_EPS
 from vrenderer_pathtracer_tpu.ops.shading import ORIGIN_OFFSET
 from vrenderer_pathtracer_tpu.render.pallas_radiance import (
-    BLOCK, COLS, ROWS, _threefry2x32_tile, _to_unit)
+    BLOCK, COLS, ROWS, _threefry2x32_tile, _to_unit,
+    fresnel_diffuse_scatter, sphere_running_min)
 from vrenderer_pathtracer_tpu.scene.scene import Scene
 from vrenderer_pathtracer_tpu.scene.spheres import (
     EXAMPLE_SPHERE_POS, EXAMPLE_SPHERE_RADIUS, SPEC)
@@ -110,16 +111,10 @@ class _Defer:
         return n
 
 
-def _n_slots(settings: RenderSettings, defer: _Defer) -> int:
-    base = 1  # depth
-    if defer.any:
-        return base + settings.samples_per_pass * settings.bounces * \
-            defer.slots_per_sb()
-    return base + 3  # fused rgb
-
-
 def supports(scene: Scene, settings: RenderSettings) -> bool:
     """Kernel scope (everything else falls back to the XLA wavefront)."""
+    import numpy as np
+
     if settings.n_pixels % BLOCK:
         return False
     if settings.has_normal_map or settings.has_specular_map:
@@ -128,6 +123,19 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         return False
     if settings.samples_per_pass * settings.bounces > 32:
         return False  # per-(s,b) output slots / compile-size bound
+    # Sphere-material scope: the kernel routes only example-sphere/mesh
+    # hits through the BRDF path, and packs spec_color as ONE scalar per
+    # sphere (the Fresnel mix uses channel 0, reference parity) — a
+    # BRDF-typed or non-gray-specular custom sphere would be shaded wrong,
+    # so such scenes stay on the XLA wavefront.
+    from vrenderer_pathtracer_tpu.scene.spheres import BRDF
+
+    refl = np.asarray(scene.spheres.refl)
+    spec = np.asarray(scene.spheres.spec_color)
+    if (refl == BRDF).any():
+        return False
+    if not ((spec[:, 0] == spec[:, 1]) & (spec[:, 1] == spec[:, 2])).all():
+        return False
     if settings.has_mesh and not settings.use_example_sphere:
         mesh = scene.mesh
         if mesh is None or mesh.paged is not None or mesh.nodes8_f is None:
@@ -273,53 +281,14 @@ def _kernel(cam, spheres, streams, *rest,
         sample_rec = []  # (key, tile) written after kill is known
 
         for b in range(bounces):
-            # --- analytic sphere running-min (pallas_radiance shape) ------
-            best_t = jnp.full((ROWS, COLS), INF, jnp.float32)
-            n_x = zero
-            n_y = zero
-            n_z = zero
-            col_r = zero
-            col_g = zero
-            col_b = zero
-            em_r = zero
-            em_g = zero
-            em_b = zero
-            spec0 = zero
-            refl_f = jnp.ones((ROWS, COLS), jnp.float32)
-            for i in range(n_spheres):
-                sp_x, sp_y, sp_z = spheres[i, 0], spheres[i, 1], spheres[i, 2]
-                rad = spheres[i, 3]
-                opx = sp_x - ox
-                opy = sp_y - oy
-                opz = sp_z - oz
-                bq = opx * dx + opy * dy + opz * dz
-                det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
-                ok = det >= 0.0
-                sq = jnp.sqrt(jnp.where(ok, det, 0.0))
-                tn = bq - sq
-                tf = bq + sq
-                t = jnp.where(tn > SPHERE_EPS, tn,
-                              jnp.where(tf > SPHERE_EPS, tf, 0.0))
-                hit_i = ok & (t > 0.0) & (t < best_t)
-                best_t = jnp.where(hit_i, t, best_t)
-                hx = ox + dx * t - sp_x
-                hy = oy + dy * t - sp_y
-                hz = oz + dz * t - sp_z
-                inl = lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-40))
-                n_x = jnp.where(hit_i, hx * inl, n_x)
-                n_y = jnp.where(hit_i, hy * inl, n_y)
-                n_z = jnp.where(hit_i, hz * inl, n_z)
-                col_r = jnp.where(hit_i, spheres[i, 4], col_r)
-                col_g = jnp.where(hit_i, spheres[i, 5], col_g)
-                col_b = jnp.where(hit_i, spheres[i, 6], col_b)
-                em_r = jnp.where(hit_i, spheres[i, 7], em_r)
-                em_g = jnp.where(hit_i, spheres[i, 8], em_g)
-                em_b = jnp.where(hit_i, spheres[i, 9], em_b)
-                spec0 = jnp.where(hit_i, spheres[i, 10], spec0)
-                refl_f = jnp.where(hit_i, spheres[i, 11], refl_f)
+            # --- analytic sphere running-min (shared with pallas_radiance) -
+            best_t, (n_x, n_y, n_z), (col_r, col_g, col_b), \
+                (em_r, em_g, em_b), spec0, refl_f = sphere_running_min(
+                    spheres, n_spheres, (ox, oy, oz), (dx, dy, dz), zero)
 
             is_brdf = jnp.zeros((ROWS, COLS), bool)
-            uv_u = jnp.full((ROWS, COLS), -1.0, jnp.float32)
+            tex_hit = jnp.zeros((ROWS, COLS), bool)
+            uv_u = zero
             uv_v = zero
             tan_x = one
             tan_y = zero
@@ -370,6 +339,7 @@ def _kernel(cam, spheres, streams, *rest,
                     ev = ny2 * 0.5 + 0.5
                     uv_u = jnp.where(ex_hit, eu, uv_u)
                     uv_v = jnp.where(ex_hit, ev, uv_v)
+                    tex_hit = tex_hit | ex_hit
                 if defer.merl:
                     # Spherical tangent estimate (reference :232-235).
                     pr = jnp.sqrt(jnp.maximum(
@@ -385,8 +355,15 @@ def _kernel(cam, spheres, streams, *rest,
                 # --- fused 8-wide packet traversal (accel/wide.py layout),
                 # attrs captured at win time from the vector leaf blocks ---
                 slot_scr[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
-                t_scr[:] = root_exit_clamp_wide(
-                    (ox, oy, oz), (dx, dy, dz), best_t, nodes8_f[0:8, :])
+                # Dead lanes get a ZERO search bound: a terminated path's
+                # stale ray must not drag the block's any-hit vote through
+                # the tree for the remaining bounces (same rationale as
+                # intersect_scene's alive hint on the standalone kernels).
+                t_scr[:] = jnp.where(
+                    alive,
+                    root_exit_clamp_wide(
+                        (ox, oy, oz), (dx, dy, dz), best_t, nodes8_f[0:8, :]),
+                    0.0)
 
                 def on_win(g, ref, win, select, blk, bu, bv):
                     shape = (8, COLS)
@@ -457,6 +434,7 @@ def _kernel(cam, spheres, streams, *rest,
                 if defer.tex:
                     uv_u = jnp.where(mesh_won, uvu_scr[:], uv_u)
                     uv_v = jnp.where(mesh_won, uvv_scr[:], uv_v)
+                    tex_hit = tex_hit | mesh_won
                 if defer.merl:
                     tan_x = jnp.where(mesh_won, txx_scr[:], tan_x)
                     tan_y = jnp.where(mesh_won, txy_scr[:], tan_y)
@@ -502,54 +480,13 @@ def _kernel(cam, spheres, streams, *rest,
             u_phi = _to_unit(r2)
             u_r = _to_unit(r3)
 
-            # --- scatter (ops/shading.py semantics) -----------------------
-            hx = ox + dx * best_t
-            hy = oy + dy * best_t
-            hz = oz + dz * best_t
-
-            ddn = dx * n_x + dy * n_y + dz * n_z
-            rfx = dx - 2.0 * ddn * n_x
-            rfy = dy - 2.0 * ddn * n_y
-            rfz = dz - 2.0 * ddn * n_z
-            rlen = lax.rsqrt(jnp.maximum(
-                rfx * rfx + rfy * rfy + rfz * rfz, 1e-40))
-
-            aoi = -ddn
-            grazing = jnp.power(jnp.maximum(1.0 - aoi, 0.0), fresnel_pow)
-            fresnel = (grazing * (1.0 - fresnel_coef) + fresnel_coef) * spec0
-            take_reflect = u_reflect < fresnel
-
-            flip = jnp.abs(n_x) > 0.1
-            ax = jnp.where(flip, 0.0, 1.0)
-            ay = jnp.where(flip, 1.0, 0.0)
-            ux_ = ay * n_z
-            uy_ = -ax * n_z
-            uz_ = ax * n_y - ay * n_x
-            ul = lax.rsqrt(jnp.maximum(
-                ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-40))
-            ux_, uy_, uz_ = ux_ * ul, uy_ * ul, uz_ * ul
-            vx_ = n_y * uz_ - n_z * uy_
-            vy_ = n_z * ux_ - n_x * uz_
-            vz_ = n_x * uy_ - n_y * ux_
-            phi = 2.0 * jnp.pi * u_phi
-            rr = jnp.sqrt(u_r)
-            cp = jnp.cos(phi) * rr
-            spn = jnp.sin(phi) * rr
-            wz = jnp.sqrt(jnp.maximum(1.0 - u_r, 0.0))
-            cdx = ux_ * cp + vx_ * spn + n_x * wz
-            cdy = uy_ * cp + vy_ * spn + n_y * wz
-            cdz = uz_ * cp + vz_ * spn + n_z * wz
-            cl = lax.rsqrt(jnp.maximum(
-                cdx * cdx + cdy * cdy + cdz * cdz, 1e-40))
-            cdx, cdy, cdz = cdx * cl, cdy * cl, cdz * cl
-
-            cosw = (cdx * n_x + cdy * n_y + cdz * n_z) * 2.0
-            ndx = jnp.where(take_reflect, rfx * rlen, cdx)
-            ndy = jnp.where(take_reflect, rfy * rlen, cdy)
-            ndz = jnp.where(take_reflect, rfz * rlen, cdz)
-            mult_r = jnp.where(take_reflect, spec0, col_r * cosw)
-            mult_g = jnp.where(take_reflect, spec0, col_g * cosw)
-            mult_b = jnp.where(take_reflect, spec0, col_b * cosw)
+            # --- scatter core (shared with pallas_radiance) ---------------
+            (hx, hy, hz), (rfx, rfy, rfz), rlen, take_reflect, \
+                (cdx, cdy, cdz), (ndx, ndy, ndz), (mult_r, mult_g, mult_b) = \
+                fresnel_diffuse_scatter(
+                    (ox, oy, oz), (dx, dy, dz), (n_x, n_y, n_z), best_t,
+                    spec0, (col_r, col_g, col_b), fresnel_coef, fresnel_pow,
+                    u_reflect, u_phi, u_r)
 
             # BRDF hits: cosine sample, kernel factor 1, table deferred.
             if defer.merl:
@@ -567,10 +504,13 @@ def _kernel(cam, spheres, streams, *rest,
 
             if defer.tex:
                 # Texture colour deferred: kernel col was set to 1 on
-                # textured hits; record uv (-1 = no texture factor).
-                tex_active = live & (uv_u >= 0.0) & ~take_reflect & ~is_brdf
+                # textured hits; record uv with an OUT-OF-BAND inactive
+                # sentinel (+inf) — real assets legitimately carry negative
+                # or >1 uv, and the epilogue must fetch them through the
+                # same wrap semantics as the XLA wavefront.
+                tex_active = live & tex_hit & ~take_reflect & ~is_brdf
                 sample_rec.append((("uv", s, b), [
-                    jnp.where(tex_active, uv_u, -1.0),
+                    jnp.where(tex_active, uv_u, jnp.inf),
                     jnp.where(tex_active, uv_v, 0.0)]))
 
             # SPEC mirror overrides.
@@ -795,8 +735,10 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
             d_fac = jnp.ones((nb * BLOCK, 3), jnp.float32)
             if defer.tex:
                 uu, vv = field(("uv", si, bi), 2)
-                texc = fetch(scene.diffuse_map, jnp.maximum(uu, 0.0), vv)
-                d_fac = d_fac * jnp.where(uu[:, None] >= 0.0, texc, 1.0)
+                active = jnp.isfinite(uu)
+                texc = fetch(scene.diffuse_map, jnp.where(active, uu, 0.0),
+                             jnp.where(active, vv, 0.0))
+                d_fac = d_fac * jnp.where(active[:, None], texc, 1.0)
             if defer.merl:
                 (mi,) = field(("midx", si, bi), 1)
                 idx = jnp.clip(mi, 0.0, None).astype(jnp.int32)

@@ -86,6 +86,129 @@ def _to_unit(bits):
     return top24.astype(jnp.float32) * jnp.float32(2.0 ** -24)
 
 
+def sphere_running_min(spheres, n_spheres, o, d, zero):
+    """Unrolled running-min intersection of all analytic spheres on one
+    (8,128) ray tile — shared verbatim by the Cornell megakernel and the
+    mesh megakernel (render/pallas_mesh.py) so the shading math stays in
+    provable lockstep (CLAUDE.md).  ``spheres`` rows: pos3, radius, color3,
+    emission3, spec_color[0], refl.  Returns
+    ``(best_t, n, col, em, spec0, refl_f)`` with 3-tuples for n/col/em.
+    """
+    ox, oy, oz = o
+    dx, dy, dz = d
+    best_t = jnp.full(zero.shape, INF, jnp.float32)
+    n_x = zero
+    n_y = zero
+    n_z = zero
+    col_r = zero
+    col_g = zero
+    col_b = zero
+    em_r = zero
+    em_g = zero
+    em_b = zero
+    spec0 = zero
+    refl_f = jnp.ones(zero.shape, jnp.float32)  # DIFF=1 default
+    for i in range(n_spheres):
+        sp_x, sp_y, sp_z = spheres[i, 0], spheres[i, 1], spheres[i, 2]
+        rad = spheres[i, 3]
+        opx = sp_x - ox
+        opy = sp_y - oy
+        opz = sp_z - oz
+        bq = opx * dx + opy * dy + opz * dz
+        det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
+        ok = det >= 0.0
+        sq = jnp.sqrt(jnp.where(ok, det, 0.0))
+        tn = bq - sq
+        tf = bq + sq
+        t = jnp.where(tn > SPHERE_EPS, tn,
+                      jnp.where(tf > SPHERE_EPS, tf, 0.0))
+        hit_i = ok & (t > 0.0) & (t < best_t)
+        best_t = jnp.where(hit_i, t, best_t)
+        hx = ox + dx * t - sp_x
+        hy = oy + dy * t - sp_y
+        hz = oz + dz * t - sp_z
+        inl = lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-40))
+        n_x = jnp.where(hit_i, hx * inl, n_x)
+        n_y = jnp.where(hit_i, hy * inl, n_y)
+        n_z = jnp.where(hit_i, hz * inl, n_z)
+        col_r = jnp.where(hit_i, spheres[i, 4], col_r)
+        col_g = jnp.where(hit_i, spheres[i, 5], col_g)
+        col_b = jnp.where(hit_i, spheres[i, 6], col_b)
+        em_r = jnp.where(hit_i, spheres[i, 7], em_r)
+        em_g = jnp.where(hit_i, spheres[i, 8], em_g)
+        em_b = jnp.where(hit_i, spheres[i, 9], em_b)
+        spec0 = jnp.where(hit_i, spheres[i, 10], spec0)
+        refl_f = jnp.where(hit_i, spheres[i, 11], refl_f)
+    return (best_t, (n_x, n_y, n_z), (col_r, col_g, col_b),
+            (em_r, em_g, em_b), spec0, refl_f)
+
+
+def fresnel_diffuse_scatter(o, d, n, best_t, spec0, col,
+                            fresnel_coef, fresnel_pow,
+                            u_reflect, u_phi, u_r):
+    """Fresnel-reflect / cosine-hemisphere scatter on one ray tile
+    (ops/shading.py semantics) — the common core of both megakernels.
+
+    Returns ``(h, rf, rlen, take_reflect, cd, nd, mult)``: hit point,
+    unnormalized mirror reflection + its inverse length, the Fresnel
+    branch mask, the cosine-sampled direction, and the branch-selected
+    new direction / throughput multiplier (callers apply their own
+    BRDF/SPEC overrides ON TOP, preserving the override order)."""
+    ox, oy, oz = o
+    dx, dy, dz = d
+    n_x, n_y, n_z = n
+    col_r, col_g, col_b = col
+
+    hx = ox + dx * best_t
+    hy = oy + dy * best_t
+    hz = oz + dz * best_t
+
+    ddn = dx * n_x + dy * n_y + dz * n_z
+    rfx = dx - 2.0 * ddn * n_x
+    rfy = dy - 2.0 * ddn * n_y
+    rfz = dz - 2.0 * ddn * n_z
+    rlen = lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz, 1e-40))
+
+    aoi = -(ddn)
+    grazing = jnp.power(jnp.maximum(1.0 - aoi, 0.0), fresnel_pow)
+    fresnel = (grazing * (1.0 - fresnel_coef) + fresnel_coef) * spec0
+    take_reflect = u_reflect < fresnel
+
+    # cosine hemisphere about n (reference frame construction)
+    flip = jnp.abs(n_x) > 0.1
+    ax = jnp.where(flip, 0.0, 1.0)
+    ay = jnp.where(flip, 1.0, 0.0)
+    # u = normalize(cross(axis, n))
+    ux_ = ay * n_z
+    uy_ = -ax * n_z
+    uz_ = ax * n_y - ay * n_x
+    ul = lax.rsqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-40))
+    ux_, uy_, uz_ = ux_ * ul, uy_ * ul, uz_ * ul
+    vx_ = n_y * uz_ - n_z * uy_
+    vy_ = n_z * ux_ - n_x * uz_
+    vz_ = n_x * uy_ - n_y * ux_
+    phi = 2.0 * jnp.pi * u_phi
+    rr = jnp.sqrt(u_r)
+    cp = jnp.cos(phi) * rr
+    spn = jnp.sin(phi) * rr
+    wz = jnp.sqrt(jnp.maximum(1.0 - u_r, 0.0))
+    cdx = ux_ * cp + vx_ * spn + n_x * wz
+    cdy = uy_ * cp + vy_ * spn + n_y * wz
+    cdz = uz_ * cp + vz_ * spn + n_z * wz
+    cl = lax.rsqrt(jnp.maximum(cdx * cdx + cdy * cdy + cdz * cdz, 1e-40))
+    cdx, cdy, cdz = cdx * cl, cdy * cl, cdz * cl
+
+    cosw = (cdx * n_x + cdy * n_y + cdz * n_z) * 2.0
+    ndx = jnp.where(take_reflect, rfx * rlen, cdx)
+    ndy = jnp.where(take_reflect, rfy * rlen, cdy)
+    ndz = jnp.where(take_reflect, rfz * rlen, cdz)
+    mult_r = jnp.where(take_reflect, spec0, col_r * cosw)
+    mult_g = jnp.where(take_reflect, spec0, col_g * cosw)
+    mult_b = jnp.where(take_reflect, spec0, col_b * cosw)
+    return ((hx, hy, hz), (rfx, rfy, rfz), rlen, take_reflect,
+            (cdx, cdy, cdz), (ndx, ndy, ndz), (mult_r, mult_g, mult_b))
+
+
 def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
             *, settings: RenderSettings, n_spheres: int, seed: int):
     """One (8,128) pixel tile through the full estimator.
@@ -147,49 +270,9 @@ def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
 
         for b in range(bounces):
             # --- running-min sphere intersection (unrolled, scalar data) --
-            best_t = jnp.full((ROWS, COLS), INF, jnp.float32)
-            n_x = zero
-            n_y = zero
-            n_z = zero
-            col_r = zero
-            col_g = zero
-            col_b = zero
-            em_r = zero
-            em_g = zero
-            em_b = zero
-            spec0 = zero
-            refl_f = jnp.ones((ROWS, COLS), jnp.float32)  # DIFF=1 default
-            for i in range(n_spheres):
-                sp_x, sp_y, sp_z = spheres[i, 0], spheres[i, 1], spheres[i, 2]
-                rad = spheres[i, 3]
-                opx = sp_x - ox
-                opy = sp_y - oy
-                opz = sp_z - oz
-                bq = opx * dx + opy * dy + opz * dz
-                det = bq * bq - (opx * opx + opy * opy + opz * opz) + rad * rad
-                ok = det >= 0.0
-                sq = jnp.sqrt(jnp.where(ok, det, 0.0))
-                tn = bq - sq
-                tf = bq + sq
-                t = jnp.where(tn > SPHERE_EPS, tn,
-                              jnp.where(tf > SPHERE_EPS, tf, 0.0))
-                hit_i = ok & (t > 0.0) & (t < best_t)
-                best_t = jnp.where(hit_i, t, best_t)
-                hx = ox + dx * t - sp_x
-                hy = oy + dy * t - sp_y
-                hz = oz + dz * t - sp_z
-                inl = lax.rsqrt(jnp.maximum(hx * hx + hy * hy + hz * hz, 1e-40))
-                n_x = jnp.where(hit_i, hx * inl, n_x)
-                n_y = jnp.where(hit_i, hy * inl, n_y)
-                n_z = jnp.where(hit_i, hz * inl, n_z)
-                col_r = jnp.where(hit_i, spheres[i, 4], col_r)
-                col_g = jnp.where(hit_i, spheres[i, 5], col_g)
-                col_b = jnp.where(hit_i, spheres[i, 6], col_b)
-                em_r = jnp.where(hit_i, spheres[i, 7], em_r)
-                em_g = jnp.where(hit_i, spheres[i, 8], em_g)
-                em_b = jnp.where(hit_i, spheres[i, 9], em_b)
-                spec0 = jnp.where(hit_i, spheres[i, 10], spec0)
-                refl_f = jnp.where(hit_i, spheres[i, 11], refl_f)
+            best_t, (n_x, n_y, n_z), (col_r, col_g, col_b), \
+                (em_r, em_g, em_b), spec0, refl_f = sphere_running_min(
+                    spheres, n_spheres, (ox, oy, oz), (dx, dy, dz), zero)
 
             is_spec = refl_f == float(SPEC)
             hit = best_t < INF
@@ -221,54 +304,14 @@ def _kernel(cam, spheres, streams, accum_r, accum_g, accum_b, depth_out,
             u_r = _to_unit(r3)
 
             # --- scatter (mirror / Fresnel-diffuse; ops/shading.py) -------
-            hx = ox + dx * best_t
-            hy = oy + dy * best_t
-            hz = oz + dz * best_t
-
-            ddn = dx * n_x + dy * n_y + dz * n_z
-            rfx = dx - 2.0 * ddn * n_x
-            rfy = dy - 2.0 * ddn * n_y
-            rfz = dz - 2.0 * ddn * n_z
-            rlen = lax.rsqrt(jnp.maximum(rfx * rfx + rfy * rfy + rfz * rfz, 1e-40))
-
-            aoi = -(ddn)
-            grazing = jnp.power(jnp.maximum(1.0 - aoi, 0.0), fresnel_pow)
-            fresnel = (grazing * (1.0 - fresnel_coef) + fresnel_coef) * spec0
-            take_reflect = u_reflect < fresnel
-
-            # cosine hemisphere about n (reference frame construction)
-            flip = jnp.abs(n_x) > 0.1
-            ax = jnp.where(flip, 0.0, 1.0)
-            ay = jnp.where(flip, 1.0, 0.0)
-            # u = normalize(cross(axis, n))
-            ux_ = ay * n_z
-            uy_ = -ax * n_z
-            uz_ = ax * n_y - ay * n_x
-            ul = lax.rsqrt(jnp.maximum(ux_ * ux_ + uy_ * uy_ + uz_ * uz_, 1e-40))
-            ux_, uy_, uz_ = ux_ * ul, uy_ * ul, uz_ * ul
-            vx_ = n_y * uz_ - n_z * uy_
-            vy_ = n_z * ux_ - n_x * uz_
-            vz_ = n_x * uy_ - n_y * ux_
-            phi = 2.0 * jnp.pi * u_phi
-            rr = jnp.sqrt(u_r)
-            cp = jnp.cos(phi) * rr
-            spn = jnp.sin(phi) * rr
-            wz = jnp.sqrt(jnp.maximum(1.0 - u_r, 0.0))
-            cdx = ux_ * cp + vx_ * spn + n_x * wz
-            cdy = uy_ * cp + vy_ * spn + n_y * wz
-            cdz = uz_ * cp + vz_ * spn + n_z * wz
-            cl = lax.rsqrt(jnp.maximum(cdx * cdx + cdy * cdy + cdz * cdz, 1e-40))
-            cdx, cdy, cdz = cdx * cl, cdy * cl, cdz * cl
-
-            cosw = (cdx * n_x + cdy * n_y + cdz * n_z) * 2.0
-            # DIFF branch select (spec_color is (1,1,1) on the two small
-            # spheres, (0,0,0) on cornell shells -> scalar spec0 broadcast)
-            ndx = jnp.where(take_reflect, rfx * rlen, cdx)
-            ndy = jnp.where(take_reflect, rfy * rlen, cdy)
-            ndz = jnp.where(take_reflect, rfz * rlen, cdz)
-            mult_r = jnp.where(take_reflect, spec0, col_r * cosw)
-            mult_g = jnp.where(take_reflect, spec0, col_g * cosw)
-            mult_b = jnp.where(take_reflect, spec0, col_b * cosw)
+            # DIFF branch select: spec_color is (1,1,1) on the two small
+            # spheres, (0,0,0) on cornell shells -> scalar spec0 broadcast.
+            (hx, hy, hz), (rfx, rfy, rfz), rlen, take_reflect, _, \
+                (ndx, ndy, ndz), (mult_r, mult_g, mult_b) = \
+                fresnel_diffuse_scatter(
+                    (ox, oy, oz), (dx, dy, dz), (n_x, n_y, n_z), best_t,
+                    spec0, (col_r, col_g, col_b), fresnel_coef, fresnel_pow,
+                    u_reflect, u_phi, u_r)
 
             # SPEC (mirror) overrides: unnormalized reflect, mask unchanged
             ndx = jnp.where(is_spec, rfx, ndx)
