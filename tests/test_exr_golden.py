@@ -183,3 +183,30 @@ def test_corrupt_dwa_header_is_an_error_not_a_crash(exr_tool, tmp_path):
         p.write_bytes(bytes(fuzzed))
         with pytest.raises(IOError):
             load_exr(str(p))
+
+
+@pytest.mark.parametrize("comp", list(COMPRESSIONS) + list(DWA))
+def test_corrupted_files_error_cleanly(exr_tool, tmp_path, comp):
+    """Truncations and byte flips of valid files across every codec must
+    surface as clean IOErrors — never crash or hang (the library is built
+    with -fno-exceptions, so an unchecked allocation aborts the process)."""
+    import random
+
+    f = str(tmp_path / f"g{comp}.exr")
+    subprocess.run([exr_tool, "write", f, str(comp), "64", "48"], check=True)
+    base = open(f, "rb").read()
+    rng = random.Random(comp)
+    for trial in range(24):
+        b = bytearray(base)
+        if trial % 3 == 0:
+            b = b[:rng.randrange(8, len(b))]
+        else:
+            lo = 0 if trial % 3 == 1 else min(300, len(b) - 1)
+            for _ in range(6):
+                b[rng.randrange(lo, len(b))] = rng.randrange(256)
+        p = tmp_path / "fz.exr"
+        p.write_bytes(bytes(b))
+        try:
+            load_exr(str(p))
+        except IOError:
+            pass  # clean surfaced error — the contract
