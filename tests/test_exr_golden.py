@@ -210,3 +210,35 @@ def test_corrupted_files_error_cleanly(exr_tool, tmp_path, comp):
             load_exr(str(p))
         except IOError:
             pass  # clean surfaced error — the contract
+
+
+@pytest.mark.parametrize("comp", [0, 3, 4, 5, 6, 8])
+def test_tiled_decode_matches_openexr(exr_tool, tmp_path, comp):
+    """ONE_LEVEL tiled files (tile chunks share the per-chunk codec) decode
+    identically to the library — bit-exact except DWA's half-ULP boundary
+    rounding."""
+    f = str(tmp_path / f"t{comp}.exr")
+    subprocess.run([exr_tool, "writetiled", f, str(comp), "100", "70", "32"],
+                   check=True)
+    ref = _dump(exr_tool, f, tmp_path)
+    ours = np.asarray(load_exr(f))
+    if comp == 8:
+        assert (ours == ref).mean() > 0.95
+        np.testing.assert_allclose(ours, ref, rtol=8e-3, atol=1e-4)
+    else:
+        np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("comp", [0, 4, 8])
+def test_y_channel_decode_matches_openexr(exr_tool, tmp_path, comp):
+    """Y-only (grayscale) files, including Y as a SOLO lossy-DCT channel
+    under DWA (no CSC set), decode to the library's broadcast gray."""
+    f = str(tmp_path / f"y{comp}.exr")
+    subprocess.run([exr_tool, "writey", f, str(comp), "64", "48"], check=True)
+    ref = _dump(exr_tool, f, tmp_path)
+    ours = np.asarray(load_exr(f))
+    if comp == 8:
+        assert (ours == ref).mean() > 0.95
+        np.testing.assert_allclose(ours, ref, rtol=8e-3, atol=1e-4)
+    else:
+        np.testing.assert_array_equal(ours, ref)

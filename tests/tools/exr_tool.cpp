@@ -10,6 +10,8 @@
 //   exr_tool write    <path> <compression 0..9> <w> <h>  deterministic RGB
 //   exr_tool writef   <path> <compression> <w> <h>        FLOAT channels
 //   exr_tool writeraw <path> <compression> <w> <h> <bin>  custom float RGB
+//   exr_tool writetiled <path> <comp> <w> <h> <tile>      tiled HALF RGBA
+//   exr_tool writey   <path> <compression> <w> <h>         Y-only HALF
 //   exr_tool dump     <path> <out.bin>                    RGB float32 rows
 //
 // Pixel pattern: reproducible mix of gradients, a bright disc, and
@@ -23,6 +25,7 @@
 #include <ImfOutputFile.h>
 #include <ImfRgba.h>
 #include <ImfRgbaFile.h>
+#include <ImfTiledRgbaFile.h>
 
 #include <cmath>
 #include <cstdint>
@@ -123,6 +126,54 @@ int main(int argc, char** argv) {
       fclose(out);
     } catch (const std::exception& e) {
       fprintf(stderr, "dump failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
+  if (!strcmp(argv[1], "writetiled")) {
+    // writetiled <path> <compression> <w> <h> <tile> : HALF RGBA tiles.
+    if (argc != 7) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    const int ts = atoi(argv[6]);
+    Array2D<Rgba> px(h, w);
+    for (int y = 0; y < h; ++y)
+      for (int x = 0; x < w; ++x) {
+        px[y][x].r = pattern(x, y, w, h, 0);
+        px[y][x].g = pattern(x, y, w, h, 1);
+        px[y][x].b = pattern(x, y, w, h, 2);
+        px[y][x].a = 1.0f;
+      }
+    try {
+      TiledRgbaOutputFile f(argv[2], w, h, ts, ts, ONE_LEVEL, ROUND_DOWN,
+                            WRITE_RGBA, 1.0f, Imath::V2f(0, 0), 1.0f,
+                            INCREASING_Y, (Compression)comp);
+      f.setFrameBuffer(&px[0][0], 1, w);
+      f.writeTiles(0, f.numXTiles() - 1, 0, f.numYTiles() - 1);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "writetiled failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
+  if (!strcmp(argv[1], "writey")) {
+    // writey <path> <compression> <w> <h> : a single HALF Y channel.
+    if (argc != 6) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    std::vector<half> y(w * h);
+    for (int yy = 0; yy < h; ++yy)
+      for (int x = 0; x < w; ++x)
+        y[yy * w + x] = pattern(x, yy, w, h, 0);
+    try {
+      Header hd(w, h);
+      hd.compression() = (Compression)comp;
+      hd.channels().insert("Y", Channel(HALF));
+      OutputFile f(argv[2], hd);
+      FrameBuffer fb;
+      fb.insert("Y", Slice(HALF, (char*)y.data(), 2, 2 * (size_t)w));
+      f.setFrameBuffer(fb);
+      f.writePixels(h);
+    } catch (const std::exception& e) {
+      fprintf(stderr, "writey failed: %s\n", e.what());
       return 1;
     }
     return 0;
