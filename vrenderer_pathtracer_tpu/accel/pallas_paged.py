@@ -48,7 +48,8 @@ BLOCK = ROWS * COLS
 
 def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             ox, oy, oz, dx, dy, dz, tmax_ref,
-            slot_out, t_out, buf_f, buf_i, buf_p, sem, stack, started):
+            slot_out, t_out, buf_f, buf_i, buf_u, buf_p, sem, stack,
+            started):
     blk = pl.program_id(0)
     cnt = count_ref[blk]
     o = (ox[:], oy[:], oz[:])
@@ -140,20 +141,26 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             return pltpu.roll(tile, (128 - 8 * (n % 16)) & 127, 1)
 
         # Dense child records: 8 nodes per 128-lane row, axis/leaf-parent
-        # bits in ref0's high bits (accel/paged.py).  Scalar loads take
-        # computed lane indices, so no rotate is needed here.
+        # bits in ref0's high bits (accel/paged.py).  Scalar VMEM loads at
+        # COMPUTED LANE offsets don't compile on Mosaic (it must prove lane
+        # indices 128-aligned), so after the DMA the row-dense records are
+        # unpacked once per page with 8 STATIC lane rotates into
+        # ``buf_u[j, r, k]`` = word k of node ``8*r+j`` — reads then use a
+        # dynamic sublane index + static lane, which Mosaic supports.
         def node_i(n, k):
-            v = buf_i[slot, n // 8, 16 * (n % 8) + k]
+            v = buf_u[lax.rem(n, 8), n // 8, k]
             return (v & 0x0FFFFFFF) if k == 0 else v
 
         @pl.when((started[slot] != 0) & page_hit)
         def _():
+            for j in range(8):
+                buf_u[j] = pltpu.roll(buf_i[slot], (128 - 16 * j) & 127, 1)
             wide_packet_traverse(
                 o, d, t_out, slot_out, stack,
                 node_boxes=node_boxes,
                 node_i=node_i,
-                node_ax=lambda n: (buf_i[slot, n // 8, 16 * (n % 8)] >> 28) & 3,
-                node_lp=lambda n: (buf_i[slot, n // 8, 16 * (n % 8)] >> 30) & 1,
+                node_ax=lambda n: (buf_u[lax.rem(n, 8), n // 8, 0] >> 28) & 3,
+                node_lp=lambda n: (buf_u[lax.rem(n, 8), n // 8, 0] >> 30) & 1,
                 dense_pack=buf_p.at[slot],
                 n_nodes=buf_i.shape[1] * 8,
             )
@@ -301,6 +308,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         scratch_shapes=[
             pltpu.VMEM((2, nbr, 128), jnp.float32),       # dense node boxes
             pltpu.VMEM((2, npp8, 128), jnp.int32),        # child records
+            pltpu.VMEM((8, npp8, 128), jnp.int32),        # unpacked records
             pltpu.VMEM((2, rp8, 128), jnp.float32),       # leaf blocks
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32),
