@@ -154,6 +154,10 @@ class ProgressiveScheduler:
                         ms=round(dt * 1e3, 3),
                         mrays_per_s=round(rays / dt / 1e6, 5))
             if self.on_pass:
+                # Block first so wall-clock read inside the callback is
+                # honest (dispatch is async over the TPU tunnel; unblocked
+                # prints report near-zero pass times).
+                jax.block_until_ready(img)
                 self.on_pass(i, r.samples_per_pixel)
             if (
                 self.checkpoint_dir
