@@ -95,6 +95,20 @@ def test_example_sphere_merl_hdri_parity():
     assert rgb.mean() > 0.01
 
 
+def test_tiled_block_remap_parity(mesh):
+    """Multi-tile image (w=64 -> 2x2 tiles of 32x32): the kernel's 32x32
+    pixel-tile block mapping + host inverse remap must reproduce the
+    raster-order wavefront exactly (at 32x32 the remap is the identity, so
+    only this shape catches an ordering bug)."""
+    settings = RenderSettings(
+        width=64, height=64, samples_per_pass=1, bounces=2,
+        use_cornell_box=True, has_hdr=False, has_mesh=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh)
+    assert supports(scene, settings)
+    rgb = _compare(scene, settings)
+    assert rgb.mean() > 0.01
+
+
 def test_supports_scope(mesh):
     base = RenderSettings(width=W, height=H, use_cornell_box=True,
                           has_hdr=False, has_mesh=True)

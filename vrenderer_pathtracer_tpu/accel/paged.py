@@ -114,23 +114,23 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
     # dynamic sublane slice + ``pltpu.roll`` on the lane dim (dense lane
     # packing is impossible with plain slicing — Mosaic has no dynamic
     # lane offsets — but a dynamic lane ROTATE is a native vector op).
-    # Child records are lane-dense too: 8 nodes per 128-lane row (stride
-    # 16), with the per-node sort axis and leaf-parent flag folded into the
-    # high bits of ref0 (bits 28-29 = axis, bit 30 = lp; refs are page-local
-    # node/pack-group ids << 2^28).  The kernel reads records one scalar at
-    # a time, and scalar loads take arbitrary computed lane indices — only
-    # VECTOR extraction needs the rotate trick the boxes use.
-    npp8 = -(-max(i8.shape[0] for i8 in pages_8i) // 8) * 8
-    np16 = -(-npp8 // 16)
-    nir8 = -(-(npp8 // 8) // 8) * 8       # record rows, 8-sublane aligned
+    # Child records are lane-dense AND word-packed: ONE int32 per child —
+    # bits 0-19 ref, bits 20-23 count+1 (0 = empty, 1 = inner, 2-9 = leaf
+    # of 1-8), word 0 also bits 24-25 = sort axis, bit 26 = leaf-parent —
+    # so 16 nodes share one 128-lane row (node n at lanes [8*(n%16),
+    # 8*(n%16)+8)).  The round-2 layout spent two words per child (8 nodes
+    # per row); packing halves both the record DMA and, more importantly,
+    # the per-visit scalar VMEM reads, which measure ~19ns each and were
+    # ~21% of the paged kernel (docs/PERF.md round 3).
+    npp16 = -(-max(i8.shape[0] for i8 in pages_8i) // 16) * 16
+    np16 = npp16 // 16
+    nir16 = -(-np16 // 8) * 8             # record rows, 8-sublane aligned
     rp8 = max(pk.shape[0] for pk in pages_pack)
     n8f_all = np.zeros((n_pages, np16 * 8, 128), np.float32)
     n8f_view = n8f_all.reshape(n_pages, np16, 8, 16, 8)  # [p,tile,c,m,k]
     n8f_view[..., 0:3] = 3e38   # empty boxes: inverted (cosmetic; count gates exclude them)
     n8f_view[..., 3:6] = -3e38
-    # (Record rows need no global init: every page's rows are fully
-    # overwritten by `enc` below, empties included.)
-    n8i_all = np.zeros((n_pages, nir8, 128), np.int32)
+    n8i_all = np.zeros((n_pages, nir16, 128), np.int32)
     pack_all = np.zeros((n_pages, rp8, 128), np.float32)
     for p in range(n_pages):
         m = pages_8i[p].shape[0]
@@ -141,12 +141,14 @@ def pack_mesh_paged(mesh: HostMesh, page_tris: int = PAGE_TRIS) -> MeshData:
         # [node, c, k] -> [tile, c, m, k] with node = tile*16 + m.
         n8f_view[p] = src.reshape(np16, 16, 8, 8).transpose(0, 2, 1, 3)
         rec = pages_8i[p]
-        assert (rec[:, 0:16:2] >= 0).all() and rec[:, 0:16:2].max() < 1 << 28
-        enc = np.zeros((nir8 * 8, 16), np.int32)
-        enc[:, 1::2] = -1
-        enc[:m] = rec[:, :16]
-        enc[:m, 0] |= (rec[:, 16] << 28) | (rec[:, 17] << 30)
-        n8i_all[p] = enc.reshape(nir8, 128)
+        refs, cnts = rec[:, 0:16:2], rec[:, 1:16:2]
+        assert (refs >= 0).all() and refs.max() < 1 << 20
+        assert cnts.min() >= -1 and cnts.max() <= 8
+        words = np.zeros((nir16 * 16, 8), np.int32)
+        words[:m] = refs | ((cnts + 1) << 20)
+        words[:m, 0] |= (rec[:, 16] << 24) | (rec[:, 17] << 26)
+        # [node, j] -> row n//16, lanes 8*(n%16)+j.
+        n8i_all[p] = words.reshape(nir16, 128)
         pack_all[p, :pages_pack[p].shape[0]] = pages_pack[p]
 
     return MeshData(

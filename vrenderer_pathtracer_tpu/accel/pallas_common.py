@@ -243,9 +243,9 @@ def make_pack_test_fn(o, d, t_out, slot_out, on_win=None):
 
 
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
-                         node_boxes, node_i, node_ax, n_nodes,
-                         leaf_blk=None, node_lp=None, dense_pack=None,
-                         on_win=None):
+                         node_boxes, node_meta, n_nodes,
+                         leaf_blk=None, dense=False, dense_pack=None,
+                         on_win=None, visit_acc=None):
     """8-wide packet traversal (accel/wide.py layout) for one ray block.
 
     Per visit, ALL EIGHT child boxes arrive in one aligned (8,8) VECTOR
@@ -263,24 +263,36 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     block-wide min-reduction is needed.
 
     ``node_boxes(n)`` — (8, >=6) vector block of node n's child AABBs;
-    ``node_i(n,k)`` k<16 — 8 x (ref,count) scalar accessor; ``node_ax(n)``
-    — sort axis.  The stack must hold ``7*depth+1`` entries (checked at
-    build time against WIDE_STACK_DEPTH).
+    ``node_meta(n)`` — scalar accessor returning ``(refs[8], cnts[8], ax,
+    lp)``: per-child (ref, count) lists, the sort axis, and the
+    leaf-parent flag (anything for non-dense layouts).  The kernel owning
+    the storage decides how many scalar reads that costs — the paged
+    layout packs a whole child record into ONE int32 word (8 reads/visit),
+    the SMEM layout reads 16+1.  The stack must hold ``7*depth+1`` entries
+    (checked at build time against WIDE_STACK_DEPTH).
 
     Leaf layouts (exactly one must be given):
     - ``leaf_blk(ref)`` — (8,16) aligned leaf block (leaf refs in
-      ``node_i`` index THIS space; winners record the original slot
+      ``node_meta`` index THIS space; winners record the original slot
       stored per row).
-    - ``node_lp(n)`` + ``dense_pack`` — the DENSE layout
-      (accel/wide.py build_dense_page): nodes flagged by ``node_lp`` are
+    - ``dense=True`` + ``dense_pack`` — the DENSE layout
+      (accel/wide.py build_dense_page): nodes flagged by ``lp`` are
       leaf-parents whose child j is sub-block j of pack row-group
-      ``node_i(n, 0)``, extracted with a STATIC lane slice — the layout
+      ``refs[0]``, extracted with a STATIC lane slice — the layout
       that lets page DMAs move zero padding.  Leaf order within a node
       is irrelevant (its any-hit bits are already fixed), so the static
       position j needs no near-to-far flip.
     """
+    import os
+    # Cost probes (measurement instrumentation, see docs/PERF.md round 3):
+    # duplicate one phase of the visit and measure the delta on hardware —
+    # device timings through the tunnel are deterministic, so single-phase
+    # deltas are exact.  "count" stashes per-block visit counts in slot row
+    # 0 (.bench/visit_count.py).  Losing design variants measured this way
+    # (single-scalar vote, carry-the-near-child, box prefetch-into-carry)
+    # are recorded in docs/PERF.md and were removed from the body.
+    EXP = os.environ.get("VPT_TRAV_EXP", "")            # dup_* cost probes
     inv = safe_inv(d)
-    dense = node_lp is not None
     if dense:
         assert on_win is None, "dense leaf layout has no on_win hook yet"
         test = make_pack_test_fn(o, d, t_out, slot_out)
@@ -293,15 +305,22 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     n_groups = o[0].shape[0]
 
     def body(carry):
-        sp, it = carry
-        node = stack[sp - 1]
-        sp = sp - 1
-        ax = node_ax(node)
+        # The current node rides in the loop carry (popped at the END of
+        # the previous iteration).  Measured dead ends (docs/PERF.md): a
+        # carry-the-near-child descent and a prefetch-the-next-box carry
+        # both LOST to this plain pop — their select chains cost more than
+        # the SMEM round trip they saved, and dynamic-index vector loads
+        # are an issue-cost, not a hidable latency.
+        sp, node, it = carry
+        refs, cnts, ax, is_lp = node_meta(node)
         neg = jnp.where(ax == 0, dneg[0], jnp.where(ax == 1, dneg[1], dneg[2]))
-        refs = [node_i(node, 2 * c) for c in range(8)]
-        cnts = [node_i(node, 2 * c + 1) for c in range(8)]
         best = t_out[:]
         boxes = node_boxes(node)                  # (8, >=6): child boxes
+        if EXP == "dup_load_pure":  # extra dynamic load, folded w/o syncs:
+            b2 = node_boxes(jnp.maximum(node - 1, 0))
+            # pad cols 6:8 are 0.0 by construction; data-dependent so the
+            # compiler cannot fold the multiply away.
+            boxes = boxes + b2[:, 6:7] * 7.0
         lo = [boxes[:, k:k + 1] for k in range(3)]
         hi = [boxes[:, 3 + k:4 + k] for k in range(3)]
         shape = (8, best.shape[1])
@@ -319,33 +338,91 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
             bg = jnp.broadcast_to(best[g:g + 1, :], shape)
             hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bg)
             acc = acc | hit.astype(jnp.int32)
-        counts = jnp.sum(acc, axis=1, keepdims=True)  # (8,1), each <= 128
+        if EXP == "dup_slab":  # cost probe: slab work twice, result unused
+            for g in range(n_groups):
+                tn = jnp.full(shape, -jnp.inf)
+                tf = jnp.full(shape, jnp.inf)
+                for k in range(3):
+                    og = jnp.broadcast_to(o[k][g:g + 1, :], shape)
+                    ig = jnp.broadcast_to(inv[k][g:g + 1, :], shape)
+                    t0 = (lo[k] - og) * ig + 1.0
+                    t1 = (hi[k] - og) * ig + 1.0
+                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+                # Fold with a runtime-never-true, compile-time-unprovable
+                # predicate so the probe work can't be DCE'd.
+                acc = acc | ((tn == 123456.78125)
+                             & (tf == -987654.3125)).astype(jnp.int32)
+        # All eight any-hit votes from two packed count reductions.  (A
+        # one-reduction variant — per-child any via jnp.max then one
+        # weighted sum — measured 0.5ms SLOWER on the bench view: int max
+        # lowers worse than the sum+shift pair.)
+        counts = jnp.sum(acc, axis=1, keepdims=True)
         s_lo = jnp.sum(counts * w_lo)
         s_hi = jnp.sum(counts * w_hi)
-        bits = [(jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0 for c in range(4)] \
-            + [(jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0 for c in range(4)]
+        bits = ([(jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0
+                 for c in range(4)]
+                + [(jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0
+                   for c in range(4)])
+        if EXP == "dup_vote":  # cost probe: vote reduction+extract twice
+            c2 = jnp.sum(acc + acc, axis=1, keepdims=True)
+            x_lo = jnp.sum(c2 * w_lo)
+            x_hi = jnp.sum(c2 * w_hi)
+            never = (x_lo & x_hi) == -12345
+            bits = [b & (~never) for b in bits]
+        if EXP == "dup_reads":  # cost probe: the child-record reads twice
+            off = jnp.where(s_lo == -12345, 1, 0)  # runtime 0, unprovable
+            r2, c2_, a2, l2_ = node_meta(node + off)
+            extra = a2
+            for c in range(8):
+                extra = extra | r2[c] | c2_[c]
+            never = extra == -12345
+            bits = [b & (~never) for b in bits]
+
+        if EXP == "dup_boxes":  # cost probe: the (8,8) box vector load twice
+            off = jnp.where(s_lo == -12345, 1, 0)
+            b2 = node_boxes(node + off)
+            never = (jnp.sum(b2[:, 0:1]) == 1.2345e-13)
+            bits = [b & (~never) for b in bits]
+        if EXP == "dup_boxes_static":  # same load at a STATIC node index
+            off = jnp.where(s_lo == -12345, 1.0, 0.0)
+            b2 = node_boxes(0)
+            never = (jnp.sum(b2[:, 0:1]) + off == 1.2345e-13)
+            bits = [b & (~never) for b in bits]
+        if EXP == "dup_slice":  # re-slice the loaded boxes into lo/hi
+            l2 = [boxes[:, k:k + 1] + 1.0 for k in range(3)]
+            h2 = [boxes[:, 3 + k:4 + k] + 1.0 for k in range(3)]
+            acc2 = (l2[0] + l2[1] + l2[2] + h2[0] + h2[1] + h2[2])
+            never = jnp.sum(acc2) == 1.2345e-13
+            bits = [b & (~never) for b in bits]
+        if EXP == "dup_branch":  # cost probe: 8 extra not-taken branches
+            for j in range(8):
+                @pl.when(bits[j] & (cnts[j] > -99999))
+                def _(j=j):
+                    stack[stack.shape[0] - 1 - j] = jnp.int32(0)
 
         if dense:
             # Leaf-parent: child j IS sub-block j of pack row-group grp —
             # its lane offset 16*j is static, which is what permits the
             # zero-padding pack (Mosaic has no dynamic lane slicing).
-            is_lp = node_lp(node) != 0
+            lp_b = is_lp != 0
             grp = refs[0]
             for j in range(8):
-                @pl.when(is_lp & bits[j] & (cnts[j] > 0))
+                @pl.when(lp_b & bits[j] & (cnts[j] > 0))
                 def _(j=j, grp=grp):
                     test(dense_pack[pl.ds(grp * 8, 8),
                                     16 * j: 16 * j + 16], grp * 8)
         else:
-            # Leaves near-to-far (build order is ascending along the axis).
+            # Leaf tests in STATIC child order: each test is a running-min
+            # update, so intra-visit order cannot change the result — the
+            # near-to-far flip only ever mattered for stack pops (dropping
+            # it removes 24 scalar selects per visit).
             for j in range(8):
-                b = jnp.where(neg, bits[7 - j], bits[j])
-                ref = jnp.where(neg, refs[7 - j], refs[j])
-                cnt = jnp.where(neg, cnts[7 - j], cnts[j])
-
-                @pl.when(b & (cnt > 0))
-                def _(ref=ref, cnt=cnt):
+                @pl.when(bits[j] & (cnts[j] > 0))
+                def _(ref=refs[j], cnt=cnts[j]):
                     leaf(ref, cnt)
+                    if EXP == "dup_leaf":  # cost probe: leaf tests twice
+                        leaf(ref, cnt)     # idempotent running-min update
 
         # Inner pushes far-to-near, so the near child pops first.  Writes
         # are unconditional select(push, ...) RMWs — no scalar branches.
@@ -356,14 +433,31 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
             push = b & (cnt == 0)
             stack[sp] = jnp.where(push, ref, stack[sp])
             sp = sp + push.astype(jnp.int32)
-        return sp, it + 1
+        if EXP == "dup_push":  # cost probe: selects + RMW chain twice,
+            sp2 = sp + 128     # shadowed into unused upper stack slots
+            for j in range(8):
+                b = jnp.where(neg, bits[j], bits[7 - j])
+                ref = jnp.where(neg, refs[j], refs[7 - j]) + 1
+                cnt = jnp.where(neg, cnts[j], cnts[7 - j])
+                push = b & (cnt == 0)
+                i2 = jnp.minimum(sp2, stack.shape[0] - 1)
+                stack[i2] = jnp.where(push, ref, stack[i2])
+                sp2 = sp2 + push.astype(jnp.int32)
+        top = stack[jnp.maximum(sp - 1, 0)]
+        nxt = jnp.where(sp > 0, top, jnp.int32(-1))
+        sp = jnp.maximum(sp - 1, 0)
+        return sp, nxt, it + 1
 
-    stack[0] = 0
-    lax.while_loop(
-        lambda c: (c[0] > 0) & (c[1] < n_nodes + 8),
+    fin = lax.while_loop(
+        lambda c: (c[1] >= 0) & (c[2] < n_nodes + 8),
         body,
-        (jnp.int32(1), jnp.int32(0)),
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
     )
+    if EXP == "count":  # visit-count probe (clobbers slot row 0)
+        if visit_acc is not None:
+            visit_acc[0] = visit_acc[0] + fin[2]
+        else:
+            slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + fin[2]
 
 
 def packet_traverse(o, d, t_out, slot_out, stack, *,

@@ -49,8 +49,10 @@ BLOCK = ROWS * COLS
 def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             ox, oy, oz, dx, dy, dz, tmax_ref,
             slot_out, t_out, buf_f, buf_i, buf_u, buf_p, sem, stack,
-            started):
+            started, vcnt):
+    import os
     blk = pl.program_id(0)
+    vcnt[0] = 0
     cnt = count_ref[blk]
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -140,35 +142,42 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             tile = buf_f[slot, pl.ds((n // 16) * 8, 8), :]
             return pltpu.roll(tile, (128 - 8 * (n % 16)) & 127, 1)
 
-        # Dense child records: 8 nodes per 128-lane row, axis/leaf-parent
-        # bits in ref0's high bits (accel/paged.py).  Scalar VMEM loads at
+        # Dense child records: ONE packed int32 word per child (bits 0-19
+        # ref, 20-23 count+1, word 0 adds 24-25 axis / 26 leaf-parent), 16
+        # nodes per 128-lane row (accel/paged.py).  Scalar VMEM loads at
         # COMPUTED LANE offsets don't compile on Mosaic (it must prove lane
         # indices 128-aligned), so after the DMA the row-dense records are
-        # unpacked once per page with 8 STATIC lane rotates into
-        # ``buf_u[j, r, k]`` = word k of node ``8*r+j`` — reads then use a
-        # dynamic sublane index + static lane, which Mosaic supports.
-        def node_i(n, k):
-            v = buf_u[lax.rem(n, 8), n // 8, k]
-            return (v & 0x0FFFFFFF) if k == 0 else v
+        # unpacked once per page with 16 STATIC lane rotates into
+        # ``buf_u[j, r, k]`` = word k of node ``16*r+j`` — reads then use a
+        # dynamic sublane index + static lane, which Mosaic supports.  One
+        # word per child = 8 scalar VMEM reads per visit; the unpacked
+        # two-word layout paid 18 at ~19ns each (docs/PERF.md round 3).
+        def node_meta(n):
+            words = [buf_u[lax.rem(n, 16), n // 16, j] for j in range(8)]
+            refs = [w & 0xFFFFF for w in words]
+            cnts = [((w >> 20) & 0xF) - 1 for w in words]
+            return refs, cnts, (words[0] >> 24) & 3, (words[0] >> 26) & 1
 
         @pl.when((started[slot] != 0) & page_hit)
         def _():
-            for j in range(8):
-                buf_u[j] = pltpu.roll(buf_i[slot], (128 - 16 * j) & 127, 1)
+            for j in range(16):
+                buf_u[j] = pltpu.roll(buf_i[slot], (128 - 8 * j) & 127, 1)
             wide_packet_traverse(
                 o, d, t_out, slot_out, stack,
                 node_boxes=node_boxes,
-                node_i=node_i,
-                node_ax=lambda n: (buf_u[lax.rem(n, 8), n // 8, 0] >> 28) & 3,
-                node_lp=lambda n: (buf_u[lax.rem(n, 8), n // 8, 0] >> 30) & 1,
+                node_meta=node_meta,
+                dense=True,
                 dense_pack=buf_p.at[slot],
-                n_nodes=buf_i.shape[1] * 8,
+                n_nodes=buf_i.shape[1] * 16,
+                visit_acc=vcnt,
             )
         return 0
 
     lax.fori_loop(0, cnt, body, 0, unroll=False)
     # Report the caller's t_max on miss lanes (contract of traverse()).
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
+    if os.environ.get("VPT_TRAV_EXP", "") == "count":  # probe readback
+        slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + vcnt[0]
 
 
 def _page_schedule(paged, ray_o, ray_d, t_max, nb):
@@ -262,7 +271,7 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
 
     paged = mesh.paged
     n_pages = paged.nodes8_f.shape[0]
-    npp8 = paged.nodes8_i.shape[1]
+    nir16 = paged.nodes8_i.shape[1]  # packed record rows: 16 nodes/row
     nbr = paged.nodes8_f.shape[1]   # dense box rows: 8 * ceil(nodes/16)
     rp8 = paged.tri_pack.shape[1]
 
@@ -307,12 +316,13 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         out_specs=(ray_spec, ray_spec),
         scratch_shapes=[
             pltpu.VMEM((2, nbr, 128), jnp.float32),       # dense node boxes
-            pltpu.VMEM((2, npp8, 128), jnp.int32),        # child records
-            pltpu.VMEM((8, npp8, 128), jnp.int32),        # unpacked records
+            pltpu.VMEM((2, nir16, 128), jnp.int32),       # packed records
+            pltpu.VMEM((16, nir16, 128), jnp.int32),      # unpacked records
             pltpu.VMEM((2, rp8, 128), jnp.float32),       # leaf blocks
             pltpu.SemaphoreType.DMA((2, 3)),
             pltpu.SMEM((WIDE_STACK_DEPTH,), jnp.int32),
             pltpu.SMEM((2,), jnp.int32),   # per-slot DMA-started flags
+            pltpu.SMEM((1,), jnp.int32),   # visit counter (probe)
         ],
     )
 

@@ -102,12 +102,17 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f[0:8, :])
+
+    def node_meta(n):
+        refs = [nodes8_i[n * 16 + 2 * c] for c in range(8)]
+        cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
+        return refs, cnts, nodes8_ax[n], 0
+
     wide_packet_traverse(
         o, d,
         t_out, slot_out, stack,
-        node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
-        node_i=lambda n, k: nodes8_i[n * 16 + k],
-        node_ax=lambda n: nodes8_ax[n],
+        node_boxes=lambda n: nodes8_f[pl.ds(pl.multiple_of(n * 8, 8), 8), :],
+        node_meta=node_meta,
         leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
         n_nodes=nodes8_i.shape[0] // 16,
     )

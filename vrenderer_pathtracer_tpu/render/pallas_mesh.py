@@ -203,7 +203,7 @@ def _merl_index_tile(cd, d, n, t):
 
 def _kernel(cam, spheres, streams, *rest,
             settings: RenderSettings, n_spheres: int, seed: int,
-            defer: _Defer, n_slots: int):
+            defer: _Defer, n_slots: int, tiled: bool):
     """One (8,128) pixel tile through the full general-scene estimator."""
     has_mesh = settings.has_mesh and not settings.use_example_sphere
     use_example = settings.use_example_sphere
@@ -236,7 +236,21 @@ def _kernel(cam, spheres, streams, *rest,
     lane = jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 0) * COLS + \
         jax.lax.broadcasted_iota(jnp.int32, (ROWS, COLS), 1)
     base = cam[0, 14].astype(jnp.int32)
-    pixel = base + pid * BLOCK + lane
+    if tiled:
+        # Blocks cover 32x32 PIXEL TILES, not raster rows: a 1024-lane
+        # raster block is a 1024x1-pixel strip whose bounce packets mix
+        # unrelated geometry; compact tiles keep the block any-hit vote
+        # local (the wavefront's _tile_remap insight — its absence here was
+        # the mesh megakernel's 3x round-2 gap, docs/PERF.md round 3).
+        # Pixel IDENTITY (ray + RNG stream) is untouched; the host side
+        # inverse-remaps outputs back to raster order.
+        tpr = w // 32
+        ry0 = base // w          # base is 32-row aligned (see caller gate)
+        pxi = lax.rem(pid, tpr) * 32 + lax.rem(lane, 32)
+        pyi = ry0 + (pid // tpr) * 32 + lane // 32
+        pixel = pyi * w + pxi
+    else:
+        pixel = base + pid * BLOCK + lane
     pixel_u = pixel.astype(jnp.uint32)
     px = (pixel % w).astype(jnp.float32)
     py = (pixel // w).astype(jnp.float32)
@@ -407,11 +421,15 @@ def _kernel(cam, spheres, streams, *rest,
                         txz_scr[row, :] = jnp.where(
                             win, tz * tinv, txz_scr[row, :])
 
+                def node_meta(n):
+                    refs = [nodes8_i[n * 16 + 2 * c] for c in range(8)]
+                    cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
+                    return refs, cnts, nodes8_ax[n], 0
+
                 wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
                     node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
-                    node_i=lambda n, k: nodes8_i[n * 16 + k],
-                    node_ax=lambda n: nodes8_ax[n],
+                    node_meta=node_meta,
                     leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
                     n_nodes=nodes8_i.shape[0] // 16,
                     on_win=on_win,
@@ -658,6 +676,10 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
 
     n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
     nb = n // BLOCK
+    # 32x32 pixel-tile blocks when the local region is whole tile rows.
+    # Callers pass pixel_offset as a multiple of n (parallel/sharding.py
+    # tile shards), so n % (w*32) == 0 also makes the offset 32-row aligned.
+    tiled = settings.width % 32 == 0 and n % (settings.width * 32) == 0
     layout, n_slots = _layout(settings, defer)
 
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -692,7 +714,8 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
 
     out = pl.pallas_call(
         functools.partial(_kernel, settings=settings, n_spheres=n_spheres,
-                          seed=seed, defer=defer, n_slots=n_slots),
+                          seed=seed, defer=defer, n_slots=n_slots,
+                          tiled=tiled),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_spec,
@@ -711,10 +734,19 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
         k = layout[key]
         return [blocks[:, k + j].reshape(-1) for j in range(width)]
 
-    depth = field(("depth",), 1)[0][:n]
+    def unmap(x):
+        """Tile order -> raster order for [n,...] outputs (epilogue math is
+        elementwise, so only the FINAL per-pixel arrays are remapped)."""
+        if not tiled:
+            return x
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import _tile_remap
+        return _tile_remap(x, n // settings.width, settings.width,
+                           inverse=True)
+
+    depth = unmap(field(("depth",), 1)[0][:n])
     if not defer.any:
         r, g, bch = field(("rgb",), 3)
-        return jnp.stack([r, g, bch], axis=-1)[:n], depth
+        return unmap(jnp.stack([r, g, bch], axis=-1)[:n]), depth
 
     # --- XLA epilogue: the deferred gathers + composition ------------------
     fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
@@ -750,4 +782,4 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     if not defer.emit:
         r, g, bch = field(("rgb",), 3)
         total = total + jnp.stack([r, g, bch], axis=-1)
-    return total[:n], depth
+    return unmap(total[:n]), depth

@@ -145,8 +145,12 @@ class ProgressiveScheduler:
             t0 = time.perf_counter()
             img, depth = r.render()
             i += 1
-            if met:
+            if met or self.on_pass:
+                # Block first so wall-clock reads (metrics and the callback)
+                # are honest: dispatch is async over the TPU tunnel and
+                # unblocked prints report near-zero pass times.
                 jax.block_until_ready(img)
+            if met:
                 dt = time.perf_counter() - t0
                 rays = (r.settings.n_pixels * r.settings.samples_per_pass
                         * r.settings.bounces)
@@ -154,10 +158,6 @@ class ProgressiveScheduler:
                         ms=round(dt * 1e3, 3),
                         mrays_per_s=round(rays / dt / 1e6, 5))
             if self.on_pass:
-                # Block first so wall-clock read inside the callback is
-                # honest (dispatch is async over the TPU tunnel; unblocked
-                # prints report near-zero pass times).
-                jax.block_until_ready(img)
                 self.on_pass(i, r.samples_per_pixel)
             if (
                 self.checkpoint_dir
