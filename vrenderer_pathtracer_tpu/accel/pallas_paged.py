@@ -180,7 +180,7 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
         slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + vcnt[0]
 
 
-def _page_schedule(paged, ray_o, ray_d, t_max, nb):
+def _page_schedule_c(paged, o_c, d_c, t_max, nb):
     """Per-block page lists: conservative interval-frustum culling.
 
     Round-1 streamed EVERY page to EVERY ray block (only a per-lane bbox
@@ -199,12 +199,16 @@ def _page_schedule(paged, ray_o, ray_d, t_max, nb):
     past ``count`` repeat the last reachable page id.
     """
     big = jnp.float32(3e38)
-    o = ray_o.reshape(nb, BLOCK, 3)
-    d = ray_d.reshape(nb, BLOCK, 3)
-    o_lo = o.min(axis=1)[:, None, :]   # [nb,1,3]
-    o_hi = o.max(axis=1)[:, None, :]
-    d_lo = d.min(axis=1)[:, None, :]
-    d_hi = d.max(axis=1)[:, None, :]
+    # Per-block bounds from flat [B] components ([nb,BLOCK,3] reductions
+    # run 3-lane-minor at ~1/40 lane efficiency — docs/PERF.md round 3).
+    o_lo = jnp.stack([c.reshape(nb, BLOCK).min(axis=1) for c in o_c],
+                     axis=1)[:, None, :]   # [nb,1,3]
+    o_hi = jnp.stack([c.reshape(nb, BLOCK).max(axis=1) for c in o_c],
+                     axis=1)[:, None, :]
+    d_lo = jnp.stack([c.reshape(nb, BLOCK).min(axis=1) for c in d_c],
+                     axis=1)[:, None, :]
+    d_hi = jnp.stack([c.reshape(nb, BLOCK).max(axis=1) for c in d_c],
+                     axis=1)[:, None, :]
     t_cap = t_max.reshape(nb, BLOCK).max(axis=1)          # [nb]
 
     p_lo = paged.bbox[None, :, 0:3]    # [1,Pg,3]
@@ -286,15 +290,24 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         t_max = _tile_remap(t_max, h, w)
     pad = (-b) % BLOCK
     if pad:
-        ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
-        ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
-        t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
-    nb = ray_o.shape[0] // BLOCK
+        # Pad [B] components, not [B,3] arrays: a concat on [B,3] runs in a
+        # 3-lane-minor layout at ~1/40 lane efficiency (6.5 ms per pad on a
+        # 1 MP frame, docs/PERF.md round 3); flat [B] pads are full-lane.
+        def pad1(v, fill):
+            return jnp.concatenate([v, jnp.full((pad,), fill, v.dtype)])
+
+        o_c = [pad1(ray_o[:, k], 0.0) for k in range(3)]
+        d_c = [pad1(ray_d[:, k], 1.0) for k in range(3)]
+        t_max = pad1(t_max, 0.0)
+    else:
+        o_c = [ray_o[:, k] for k in range(3)]
+        d_c = [ray_d[:, k] for k in range(3)]
+    nb = o_c[0].shape[0] // BLOCK
 
     def comp(x):
         return x.reshape(nb * ROWS, COLS)
 
-    count, perm = _page_schedule(paged, ray_o, ray_d, t_max, nb)
+    count, perm = _page_schedule_c(paged, o_c, d_c, t_max, nb)
 
     # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
@@ -345,8 +358,8 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         count, perm,
         paged.nodes8_f, paged.nodes8_i,
         paged.bbox, paged.tri_pack,
-        comp(ray_o[:, 0]), comp(ray_o[:, 1]), comp(ray_o[:, 2]),
-        comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
+        comp(o_c[0]), comp(o_c[1]), comp(o_c[2]),
+        comp(d_c[0]), comp(d_c[1]), comp(d_c[2]),
         comp(t_max),
     )
     slot = slot.reshape(-1)[:b]

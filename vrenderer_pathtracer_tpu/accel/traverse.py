@@ -209,23 +209,73 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
 
     mesh = scene.mesh
     safe = jnp.maximum(slot, 0)
-    v0 = mesh.tri_v0[safe]
-    e1 = mesh.tri_e1[safe]
-    e2 = mesh.tri_e2[safe]
+    # ONE wide-row gather for every per-slot attribute.  TPU gathers are
+    # row-granular with a hard efficiency cliff: rows >= 64 lanes move at
+    # ~110 GB/s, narrow rows at ~5 GB/s (measured, docs/PERF.md round 3) —
+    # the original separate tri_v0/e1/e2/uv/t/n gathers were ~23% of a
+    # config-5 pass.  The concatenation below is loop-invariant, so XLA
+    # builds the [R,64] table once per call, not per bounce.
+    r_tris = mesh.tri_v0.shape[0]
+    attr = jnp.concatenate([
+        mesh.tri_v0, mesh.tri_e1, mesh.tri_e2,
+        mesh.tri_uv.reshape(r_tris, 6),
+        mesh.tri_t.reshape(r_tris, 9),
+        mesh.tri_n.reshape(r_tris, 9),
+    ], axis=1)
+    attr = jnp.pad(attr, ((0, 0), (0, 64 - attr.shape[1])))
+    # Keep the gather 64 lanes wide: barriers on BOTH sides, or XLA
+    # re-narrows it to [B,33] — back on the ~5 GB/s side of the row-width
+    # cliff (observed 45 ms vs 5 ms per gather).  Input side: XLA commutes
+    # constant padding out of the gather (gather(pad(x)) -> pad(gather(x)));
+    # output side: consumer slices push through and dead-code the columns.
+    attr = jax.lax.optimization_barrier(attr)
+    rows = jax.lax.optimization_barrier(attr[safe])
+    # Hot math runs on FLAT [B] components: elementwise ops on [B,3]
+    # arrays lower to a 3-lane-minor layout at ~1/40 lane efficiency
+    # (docs/PERF.md round 3); [B,3] results are assembled only at the end.
+    oc = [ray_o[:, k] for k in range(3)]
+    dc = [ray_d[:, k] for k in range(3)]
+    v0c = [rows[:, k] for k in range(3)]
+    e1c = [rows[:, 3 + k] for k in range(3)]
+    e2c = [rows[:, 6 + k] for k in range(3)]
 
-    # Recompute (t, u, v) differentiably for the winning triangle.
-    t, u, v, _ = _moller_trumbore(
-        ray_o, ray_d, v0[:, None, :], e1[:, None, :], e2[:, None, :]
-    )
-    t, u, v = t[:, 0], u[:, 0], v[:, 0]
+    def cross(a, b):
+        return [a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0]]
+
+    def dot(a, b):
+        return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+    # Recompute (t, u, v) differentiably for the winning triangle
+    # (Möller–Trumbore, cuda/include/RayIntersection.cuh:54-111 semantics).
+    pvec = cross(dc, e2c)
+    det = dot(e1c, pvec)
+    inv_det = jnp.where(jnp.abs(det) > TRI_EPS, 1.0 / det, 0.0)
+    tvec = [oc[k] - v0c[k] for k in range(3)]
+    u = dot(tvec, pvec) * inv_det
+    qvec = cross(tvec, e1c)
+    v = dot(dc, qvec) * inv_det
+    t = dot(e2c, qvec) * inv_det
     w = 1.0 - u - v
     point = ray_o + ray_d * t[:, None]
 
-    bary = jnp.stack([w, u, v], axis=-1)[:, :, None]        # [B,3,1]
-    uv = jnp.sum(mesh.tri_uv[safe] * bary, axis=1)          # [B,2]
-    tangent = jnp.sum(mesh.tri_t[safe] * bary, axis=1)
-    tangent = tangent / jnp.maximum(
-        jnp.linalg.norm(tangent, axis=-1, keepdims=True), 1e-20)
+    def bary_mix(base):
+        """w*c0 + u*c1 + v*c2 over column-triple-packed corners."""
+        return [w * rows[:, base + k] + u * rows[:, base + 3 + k]
+                + v * rows[:, base + 6 + k] for k in range(3)]
+
+    def norm3(a, eps=1e-20):
+        inv = 1.0 / jnp.maximum(jnp.sqrt(dot(a, a)), eps)
+        return [a[k] * inv for k in range(3)]
+
+    # uv corners are packed per corner (u0,v0,u1,v1,u2,v2) at cols 9:15.
+    uv = jnp.stack([
+        w * rows[:, 9] + u * rows[:, 11] + v * rows[:, 13],
+        w * rows[:, 10] + u * rows[:, 12] + v * rows[:, 14],
+    ], axis=-1)
+    tangent_c = norm3(bary_mix(15))
+    tangent = jnp.stack(tangent_c, axis=-1)
 
     fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
              else tex_ops.fetch_nearest)
@@ -235,13 +285,12 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     else:
         color = jnp.ones_like(point)
 
-    face_n = jnp.cross(-e1, -e2)  # cross(v0-v1, v0-v2), reference orientation
-    face_n = face_n / jnp.maximum(
-        jnp.linalg.norm(face_n, axis=-1, keepdims=True), 1e-20)
+    ne1 = [-rows[:, 3 + k] for k in range(3)]
+    ne2 = [-rows[:, 6 + k] for k in range(3)]
+    # cross(v0-v1, v0-v2), reference orientation
+    face_n = jnp.stack(norm3(cross(ne1, ne2)), axis=-1)
     if settings.has_normal_map:
-        smooth_n = jnp.sum(mesh.tri_n[safe] * bary, axis=1)
-        smooth_n = smooth_n / jnp.maximum(
-            jnp.linalg.norm(smooth_n, axis=-1, keepdims=True), 1e-20)
+        smooth_n = jnp.stack(norm3(bary_mix(24)), axis=-1)
         texel = fetch(scene.normal_map, uv[:, 0], uv[:, 1])
         n_ts = tex_ops.decode_normal_map(texel)
         normal = tex_ops.apply_tbn(smooth_n, tangent, n_ts)

@@ -8,10 +8,18 @@ green-as-luma (``:6``), UI defaults subpix quality 0.75 / edge threshold
 feeds the console path, which the PC shader ignores — kept out here.
 
 Every pixel runs the full algorithm with masked lanes (no early-exit
-branches): edge detection from the 3x3 luma neighborhood, end-of-edge search
-along the span, sub-pixel blending, and a final bilinear re-sample shifted
-perpendicular to the edge.  Pure elementwise math + gathers — XLA fuses it
-into a handful of VPU passes; differentiable like everything else.
+branches).  GATHER-FREE BY CONSTRUCTION: a lane only advances along the
+edge while it has advanced at every previous step (``done`` is monotone),
+so the live sample at search step k sits at the STATIC cumulative offset
+c_k = sum(steps[:k+1]) — every texture fetch in the algorithm is therefore
+a static integer shift (pad+slice, clamp-to-edge) of the whole image, with
+the ±half-texel bilinear parts expressed as averages of two shifts and the
+horizontal/vertical variants merged by per-lane selects.  The first version
+of this pass used real per-lane gathers for the bilinear taps; on TPU a
+[N,3]-row gather runs at ~5 GB/s effective and the four taps cost 340 ms of
+a 696 ms config-5 pass (docs/PERF.md round 3) — the shift form is ~2 orders
+cheaper and XLA fuses it into a few VPU passes.  Differentiable like
+everything else.
 """
 
 from __future__ import annotations
@@ -22,35 +30,20 @@ QUALITY_STEPS = (1.0, 1.5, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 2.0, 4.0, 8.0)
 EDGE_THRESHOLD_MIN = 0.0833  # FXAA_QUALITY__EDGE_THRESHOLD_MIN default
 
 
-def _sample_bilinear(img, x, y):
-    """Clamped bilinear fetch at texel-space coords (centers at i+0.5)."""
-    h, w = img.shape[0], img.shape[1]
-    fx = x - 0.5
-    fy = y - 0.5
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    wx = (fx - x0)[..., None]
-    wy = (fy - y0)[..., None]
-    x0c = jnp.clip(x0, 0, w - 1)
-    x1c = jnp.clip(x0 + 1, 0, w - 1)
-    y0c = jnp.clip(y0, 0, h - 1)
-    y1c = jnp.clip(y0 + 1, 0, h - 1)
-    flat = img.reshape(-1, img.shape[-1])
-    c00 = flat[x0c + y0c * w]
-    c10 = flat[x1c + y0c * w]
-    c01 = flat[x0c + y1c * w]
-    c11 = flat[x1c + y1c * w]
-    top = c00 * (1 - wx) + c10 * wx
-    bot = c01 * (1 - wx) + c11 * wx
-    return top * (1 - wy) + bot * wy
-
-
-def _shift(img, dy, dx):
-    """Neighbor fetch with clamped borders (GL clamp-to-edge semantics)."""
-    h, w = img.shape[0], img.shape[1]
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+def _shift2d(a, dy: int, dx: int):
+    """Static integer shift with clamp-to-edge borders: out[y,x] =
+    a[clip(y+dy), clip(x+dx)].  Pure pad+slice — no gather."""
+    h, w = a.shape[0], a.shape[1]
+    rest = ((0, 0),) * (a.ndim - 2)
+    if dy > 0:
+        a = jnp.pad(a, ((0, dy), (0, 0)) + rest, mode="edge")[dy:]
+    elif dy < 0:
+        a = jnp.pad(a, ((-dy, 0), (0, 0)) + rest, mode="edge")[:h]
+    if dx > 0:
+        a = jnp.pad(a, ((0, 0), (0, dx)) + rest, mode="edge")[:, dx:]
+    elif dx < 0:
+        a = jnp.pad(a, ((0, 0), (-dx, 0)) + rest, mode="edge")[:, :w]
+    return a
 
 
 def fxaa(
@@ -60,18 +53,17 @@ def fxaa(
     edge_threshold_min: float = EDGE_THRESHOLD_MIN,
 ):
     """Antialias a display-space image.  img [H,W,3] in [0,1] -> [H,W,3]."""
-    h, w = img.shape[0], img.shape[1]
     luma = img[..., 1]  # green as luma
 
     l_m = luma
-    l_n = _shift(luma[..., None], -1, 0)[..., 0]
-    l_s = _shift(luma[..., None], 1, 0)[..., 0]
-    l_w = _shift(luma[..., None], 0, -1)[..., 0]
-    l_e = _shift(luma[..., None], 0, 1)[..., 0]
-    l_nw = _shift(luma[..., None], -1, -1)[..., 0]
-    l_ne = _shift(luma[..., None], -1, 1)[..., 0]
-    l_sw = _shift(luma[..., None], 1, -1)[..., 0]
-    l_se = _shift(luma[..., None], 1, 1)[..., 0]
+    l_n = _shift2d(luma, -1, 0)
+    l_s = _shift2d(luma, 1, 0)
+    l_w = _shift2d(luma, 0, -1)
+    l_e = _shift2d(luma, 0, 1)
+    l_nw = _shift2d(luma, -1, -1)
+    l_ne = _shift2d(luma, -1, 1)
+    l_sw = _shift2d(luma, 1, -1)
+    l_se = _shift2d(luma, 1, 1)
 
     range_max = jnp.maximum(l_m, jnp.maximum(jnp.maximum(l_n, l_s), jnp.maximum(l_w, l_e)))
     range_min = jnp.minimum(l_m, jnp.minimum(jnp.minimum(l_n, l_s), jnp.minimum(l_w, l_e)))
@@ -100,51 +92,55 @@ def fxaa(
     # Perpendicular step direction: -1 towards N/W, +1 towards S/E (texels).
     length_sign = jnp.where(pair1, -1.0, 1.0)
     luma_nn = jnp.where(pair1, luma1, luma2) + l_m
-
-    # --- end-of-edge search ------------------------------------------------
-    ys, xs = jnp.meshgrid(
-        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
-        indexing="ij",
-    )
-    pos_x = xs + 0.5
-    pos_y = ys + 0.5
-    # Base position shifted half a texel perpendicular to the edge.
-    base_x = jnp.where(horz_span, pos_x, pos_x + length_sign * 0.5)
-    base_y = jnp.where(horz_span, pos_y + length_sign * 0.5, pos_y)
-    off_x = jnp.where(horz_span, 1.0, 0.0)
-    off_y = jnp.where(horz_span, 0.0, 1.0)
-
     luma_nn_half = luma_nn * 0.5
 
-    pos_nx = base_x - off_x * QUALITY_STEPS[0]
-    pos_ny = base_y - off_y * QUALITY_STEPS[0]
-    pos_px = base_x + off_x * QUALITY_STEPS[0]
-    pos_py = base_y + off_y * QUALITY_STEPS[0]
+    # --- end-of-edge search --------------------------------------------------
+    # Edge rows half a texel perpendicular from the pixel: avg of two shifts.
+    perp_n = 0.5 * (luma + l_n)      # horz span, length_sign = -1
+    perp_s = 0.5 * (luma + l_s)      # horz span, length_sign = +1
+    perp_w = 0.5 * (luma + l_w)      # vert span, length_sign = -1
+    perp_e = 0.5 * (luma + l_e)      # vert span, length_sign = +1
 
-    def luma_at(x, y):
-        return _sample_bilinear(luma[..., None], x, y)[..., 0]
+    def edge_luma(c: float, sign: int):
+        """Edge-row luma at static offset sign*c along the span (per-lane
+        orientation/perpendicular-direction resolved by selects)."""
+        m = int(c)
+        frac = c - m
 
-    end_n = luma_at(pos_nx, pos_ny) - luma_nn_half
-    end_p = luma_at(pos_px, pos_py) - luma_nn_half
+        def along(pa, pb, axis):
+            dy, dx = (0, sign * m) if axis == 0 else (sign * m, 0)
+            va = _shift2d(pa, dy, dx)
+            vb = _shift2d(pb, dy, dx)
+            if frac:
+                dy2, dx2 = (0, sign * (m + 1)) if axis == 0 else (sign * (m + 1), 0)
+                va = 0.5 * (va + _shift2d(pa, dy2, dx2))
+                vb = 0.5 * (vb + _shift2d(pb, dy2, dx2))
+            return jnp.where(pair1, va, vb)
+
+        return jnp.where(horz_span, along(perp_n, perp_s, 0),
+                         along(perp_w, perp_e, 1))
+
+    cum = QUALITY_STEPS[0]
+    end_n = edge_luma(cum, -1) - luma_nn_half
+    end_p = edge_luma(cum, +1) - luma_nn_half
     done_n = jnp.abs(end_n) >= gradient_scaled
     done_p = jnp.abs(end_p) >= gradient_scaled
+    dst_n = jnp.full_like(luma, cum)
+    dst_p = jnp.full_like(luma, cum)
 
     for step in QUALITY_STEPS[1:]:
+        cum += step
         adv_n = ~done_n
         adv_p = ~done_p
-        pos_nx = jnp.where(adv_n, pos_nx - off_x * step, pos_nx)
-        pos_ny = jnp.where(adv_n, pos_ny - off_y * step, pos_ny)
-        pos_px = jnp.where(adv_p, pos_px + off_x * step, pos_px)
-        pos_py = jnp.where(adv_p, pos_py + off_y * step, pos_py)
-        new_end_n = luma_at(pos_nx, pos_ny) - luma_nn_half
-        new_end_p = luma_at(pos_px, pos_py) - luma_nn_half
+        new_end_n = edge_luma(cum, -1) - luma_nn_half
+        new_end_p = edge_luma(cum, +1) - luma_nn_half
         end_n = jnp.where(adv_n, new_end_n, end_n)
         end_p = jnp.where(adv_p, new_end_p, end_p)
+        dst_n = jnp.where(adv_n, cum, dst_n)
+        dst_p = jnp.where(adv_p, cum, dst_p)
         done_n = done_n | (jnp.abs(end_n) >= gradient_scaled)
         done_p = done_p | (jnp.abs(end_p) >= gradient_scaled)
 
-    dst_n = jnp.where(horz_span, pos_x - pos_nx, pos_y - pos_ny)
-    dst_p = jnp.where(horz_span, pos_px - pos_x, pos_py - pos_y)
     direction_n = dst_n < dst_p
     dst = jnp.minimum(dst_n, dst_p)
     span_length = dst_p + dst_n
@@ -164,9 +160,22 @@ def fxaa(
     subpix_f = subpix_d * subpix_c * subpix_c
     subpix_h = subpix_f * subpix_f * subpix_quality
 
+    # --- final resample: fractional offset o perpendicular to the edge.
+    # Bilinear at (center + o) is the hat-weighted sum of the -1/0/+1
+    # shifted images (weight of shift k is max(0, 1-|o-k|)) — per-lane
+    # WEIGHTS, static SHIFTS.  |o| <= max(0.5, subpix_quality) < 1, so
+    # three taps cover every case.
     offset = jnp.maximum(pixel_offset_good, subpix_h) * length_sign
-    out_x = jnp.where(horz_span, pos_x, pos_x + offset)
-    out_y = jnp.where(horz_span, pos_y + offset, pos_y)
-    filtered = _sample_bilinear(img, out_x, out_y)
+    u = offset[..., None]
+
+    def hat(k):
+        return jnp.maximum(0.0, 1.0 - jnp.abs(u - k))
+
+    w_m1, w_0, w_p1 = hat(-1.0), hat(0.0), hat(1.0)
+    row_mix = (_shift2d(img, -1, 0) * w_m1 + img * w_0
+               + _shift2d(img, 1, 0) * w_p1)
+    col_mix = (_shift2d(img, 0, -1) * w_m1 + img * w_0
+               + _shift2d(img, 0, 1) * w_p1)
+    filtered = jnp.where(horz_span[..., None], row_mix, col_mix)
 
     return jnp.where(early_exit[..., None], img, filtered)
