@@ -34,6 +34,9 @@ def _add_render_args(p: argparse.ArgumentParser):
     p.add_argument("--example-sphere", action="store_true")
     p.add_argument("--use-brdf", action="store_true",
                    help="shade mesh/example sphere with the loaded MERL BRDF")
+    p.add_argument("--brdf-importance-sampling", action="store_true",
+                   help="importance-sample the measured BRDF lobe (MIS with "
+                        "cosine; lower variance on glossy tables)")
     # assets
     p.add_argument("--mesh", help="OBJ path")
     p.add_argument("--hdr", help="EXR lat-long environment map")
@@ -131,6 +134,8 @@ def _build_renderer(args):
         r.load_texture(_load_image(args.specular_map), args.texture_gamma, 2)
     if args.use_brdf:
         r.use_brdf(True)
+    if args.brdf_importance_sampling:
+        r.settings = r.settings.replace(brdf_importance_sampling=True)
     r.set_fresnel_coef(args.fresnel_coef)
     r.set_fresnel_power(args.fresnel_power)
     r.set_fxaa_params(subpix_quality=args.fxaa_subpix,

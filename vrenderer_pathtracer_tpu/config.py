@@ -67,6 +67,11 @@ class RenderSettings:
     # else "xla" (differentiable wavefront).  Gradient paths always use
     # the XLA integrator.
     radiance_kernel: str = "auto"
+    # Importance-sample measured BRDFs: one-sample MIS between a tabulated
+    # half-angle lobe CDF and the cosine strategy (ops/brdf_sampling.py).
+    # Same limit image as the reference's cosine estimator, lower variance
+    # on glossy MERL tables.  XLA wavefront only (kernels keep cosine).
+    brdf_importance_sampling: bool = False
     # Texture/env fetch mode: "nearest" is reference parity (integer texel
     # fetch); "bilinear" makes d(pixel)/d(texel) piecewise-linear and the
     # image smooth in uv/direction — use when optimizing textures/env maps.

@@ -81,12 +81,22 @@ def scatter(
     fresnel_coef,
     fresnel_pow,
     brdf_table=None,
+    brdf_sampler=None,
+    u_b1=None,
+    u_b2=None,
 ):
     """One bounce of material interaction for a [B] lane batch.
 
     Returns ``(new_dir [B,3], mask_mult [B,3])``; the caller moves the origin
     to ``hit + ORIGIN_OFFSET * normal`` and multiplies throughput by
     ``mask_mult``.
+
+    With ``brdf_sampler`` (ops/brdf_sampling.py) and two extra uniforms, BRDF
+    lanes use one-sample MIS between the measured lobe and the cosine
+    strategy instead of plain cosine sampling — same limit image, lower
+    variance on glossy tables.  ``u_reflect`` doubles as the strategy
+    selector on BRDF lanes (it is only consumed by DIFF lanes otherwise) and
+    ``u_phi`` as the lobe azimuth (each lane takes exactly one branch).
     """
     mirror_dir = reflect(ray_d, normal)          # SPEC: not normalized (parity)
     fresnel_dir = _norm(mirror_dir)              # DIFF specular: normalized
@@ -112,7 +122,15 @@ def scatter(
     )
 
     # --- BRDF: measured reflectance about a cosine sample ------------------
-    if brdf_table is not None:
+    brdf_dir = cos_dir
+    if brdf_table is not None and brdf_sampler is not None:
+        from vrenderer_pathtracer_tpu.ops.brdf_sampling import sample_brdf_mis
+
+        brdf_dir, brdf_mult = sample_brdf_mis(
+            brdf_sampler, brdf_table, ray_d, normal, tangent, cos_dir,
+            u_reflect, u_b1, u_b2, u_phi,
+        )
+    elif brdf_table is not None:
         brdf_val = lookup_brdf(brdf_table, cos_dir, ray_d, normal, tangent)
         brdf_mult = 24.0 * jnp.maximum(brdf_val, 0.0)
     else:
@@ -120,7 +138,7 @@ def scatter(
 
     is_spec = (hit_type == SPEC)[:, None]
     is_brdf = (hit_type == BRDF)[:, None]
-    new_dir = jnp.where(is_spec, mirror_dir, jnp.where(is_brdf, cos_dir, diff_dir))
+    new_dir = jnp.where(is_spec, mirror_dir, jnp.where(is_brdf, brdf_dir, diff_dir))
     mask_mult = jnp.where(
         is_spec, jnp.ones_like(diff_mult), jnp.where(is_brdf, brdf_mult, diff_mult)
     )

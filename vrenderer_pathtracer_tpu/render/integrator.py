@@ -220,6 +220,14 @@ def radiance(
     import functools
 
     n_rays = ray_o.shape[0]
+    # Lobe importance sampler for measured BRDFs (opt-in): built once per
+    # pass from the detached table — 90 numbers, CSE'd across bounces.
+    brdf_sampler = None
+    if settings.brdf_importance_sampling and settings.has_brdf \
+            and scene.brdf is not None:
+        from vrenderer_pathtracer_tpu.ops.brdf_sampling import build_merl_sampler
+
+        brdf_sampler = build_merl_sampler(scene.brdf)
     mask = jnp.ones((n_rays, 3), jnp.float32)
     accum = jnp.zeros((n_rays, 3), jnp.float32)
     depth = jnp.ones((n_rays,), jnp.float32)
@@ -249,6 +257,10 @@ def radiance(
 
         u_reflect, _ = rng.uniform2(seed, pixel_ids, rng.make_stream(frame, sample_ids, bounce, 0))
         u_phi, u_r = rng.uniform2(seed, pixel_ids, rng.make_stream(frame, sample_ids, bounce, 1))
+        u_b1 = u_b2 = None
+        if brdf_sampler is not None:
+            u_b1, u_b2 = rng.uniform2(
+                seed, pixel_ids, rng.make_stream(frame, sample_ids, bounce, 2))
 
         new_dir, mult = scatter(
             ray_d,
@@ -263,6 +275,9 @@ def radiance(
             fresnel_coef,
             fresnel_pow,
             brdf_table=scene.brdf if settings.has_brdf else None,
+            brdf_sampler=brdf_sampler,
+            u_b1=u_b1,
+            u_b2=u_b2,
         )
 
         lh = live_hit[:, None]

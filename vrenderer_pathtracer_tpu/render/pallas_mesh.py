@@ -121,6 +121,8 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         return False
     if settings.use_brdf and not settings.has_brdf:
         return False
+    if settings.brdf_importance_sampling and settings.use_brdf:
+        return False  # lobe-MIS directions exist on the XLA wavefront only
     if settings.samples_per_pass * settings.bounces > 32:
         return False  # per-(s,b) output slots / compile-size bound
     # Sphere-material scope: the kernel routes only example-sphere/mesh
