@@ -126,3 +126,33 @@ def test_paged_tile_remap_matches_unmapped():
                             image_shape=(h, w))
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
     np.testing.assert_array_equal(np.asarray(t0), np.asarray(t1))
+
+
+def test_paged_block_rows_equivalent():
+    """block_rows is a pure scheduling knob: results identical at any block
+    size, including when the SMEM budget forces an internal escalation
+    (the 1080p config-5 schedule is ~2MB at 8 rows and must not refuse to
+    compile — it doubles block_rows until ``perm`` fits)."""
+    import vrenderer_pathtracer_tpu.accel.pallas_paged as pp
+
+    host = _soup(900, seed=3, extent=40.0)
+    mesh = pack_mesh_paged(host, page_tris=256)
+    o1, d1 = _rays(512, seed=4)
+    o2, d2 = _aimed_rays(host, 512, seed=5)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    s0, t0 = traverse_paged(mesh, o, d, t_max, interpret=True)
+    s1, t1 = traverse_paged(mesh, o, d, t_max, interpret=True, block_rows=16)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-5)
+    # Force the auto-escalation path: one block's schedule row over budget.
+    old = pp.SMEM_SCHEDULE_BUDGET
+    pp.SMEM_SCHEDULE_BUDGET = 20
+    try:
+        s2, t2 = traverse_paged(mesh, o, d, t_max, interpret=True,
+                                block_rows=4)
+    finally:
+        pp.SMEM_SCHEDULE_BUDGET = old
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s2))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t2), rtol=1e-5)

@@ -139,3 +139,23 @@ def test_packets_respect_t_max():
     tight = jnp.where(slot_w >= 0, t_w * 0.5, wide)
     slot_t, _ = traverse_packets(mesh, o, d, tight, interpret=True)
     assert (np.asarray(slot_t)[hit] == -1).all()
+
+
+def test_packet_block_rows_equivalent():
+    """block_rows (rays per packet block) never changes results — only the
+    vote granularity and the scalar-chain amortization (docs/PERF.md)."""
+    from tests.test_mesh_traversal import _aimed_rays, _rays, _soup
+    from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+
+    host = _soup(900, seed=3, extent=40.0)
+    mesh = pack_mesh(host)
+    o1, d1 = _rays(512, seed=4)
+    o2, d2 = _aimed_rays(host, 512, seed=5)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    s0, t0 = traverse_packets(mesh, o, d, t_max, interpret=True)
+    s1, t1 = traverse_packets(mesh, o, d, t_max, interpret=True,
+                              block_rows=16)
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-5)

@@ -58,12 +58,12 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
     d = (dx[:], dy[:], dz[:])
     inv = safe_inv(d)
 
-    slot_out[:] = jnp.full((ROWS, COLS), -1, jnp.int32)
+    slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     # Clamp search bounds to the global mesh-box exit (see
     # pallas_common.root_exit_clamp): miss lanes go silent instead of
     # dragging the block through every page.
-    tn = jnp.full((ROWS, COLS), -jnp.inf, jnp.float32)
-    tf = jnp.full((ROWS, COLS), jnp.inf, jnp.float32)
+    tn = jnp.full(slot_out.shape, -jnp.inf, jnp.float32)
+    tf = jnp.full(slot_out.shape, jnp.inf, jnp.float32)
     for k in range(3):
         glo = jnp.min(bbox[:, k])
         ghi = jnp.max(bbox[:, 3 + k])
@@ -180,7 +180,7 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
         slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + vcnt[0]
 
 
-def _page_schedule_c(paged, o_c, d_c, t_max, nb):
+def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
     """Per-block page lists: conservative interval-frustum culling.
 
     Round-1 streamed EVERY page to EVERY ray block (only a per-lane bbox
@@ -201,15 +201,15 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb):
     big = jnp.float32(3e38)
     # Per-block bounds from flat [B] components ([nb,BLOCK,3] reductions
     # run 3-lane-minor at ~1/40 lane efficiency — docs/PERF.md round 3).
-    o_lo = jnp.stack([c.reshape(nb, BLOCK).min(axis=1) for c in o_c],
+    o_lo = jnp.stack([c.reshape(nb, block).min(axis=1) for c in o_c],
                      axis=1)[:, None, :]   # [nb,1,3]
-    o_hi = jnp.stack([c.reshape(nb, BLOCK).max(axis=1) for c in o_c],
+    o_hi = jnp.stack([c.reshape(nb, block).max(axis=1) for c in o_c],
                      axis=1)[:, None, :]
-    d_lo = jnp.stack([c.reshape(nb, BLOCK).min(axis=1) for c in d_c],
+    d_lo = jnp.stack([c.reshape(nb, block).min(axis=1) for c in d_c],
                      axis=1)[:, None, :]
-    d_hi = jnp.stack([c.reshape(nb, BLOCK).max(axis=1) for c in d_c],
+    d_hi = jnp.stack([c.reshape(nb, block).max(axis=1) for c in d_c],
                      axis=1)[:, None, :]
-    t_cap = t_max.reshape(nb, BLOCK).max(axis=1)          # [nb]
+    t_cap = t_max.reshape(nb, block).max(axis=1)          # [nb]
 
     p_lo = paged.bbox[None, :, 0:3]    # [1,Pg,3]
     p_hi = paged.bbox[None, :, 3:6]
@@ -259,9 +259,13 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb):
     return count, perm
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "image_shape"))
+SMEM_SCHEDULE_BUDGET = 768 * 1024  # bytes for the prefetched (count, perm)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "image_shape", "block_rows"))
 def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
-                   image_shape=None):
+                   image_shape=None, block_rows=2 * ROWS):
     """Two-level paged traversal over [B] rays.  Same contract as
     accel.traverse.traverse: returns (slot [B] int32, t [B] f32).
 
@@ -269,6 +273,15 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     remapped to compact 32x32 pixel tiles (pallas_traverse._tile_remap),
     which tightens each block's frustum — fewer reachable pages per block
     AND a tighter any-hit vote inside each page.
+
+    ``block_rows`` (static): sublane rows per ray block (block = 128*rows
+    rays).  Default 16 — the measured best for this kernel on coherent
+    views (+12% over 8: fewer page-DMA streams; 32/64 lose, and shuffled
+    batches measure flat 8-vs-16 — the any-hit union does NOT saturate,
+    .bench/rows_sweep.py).  Auto-escalated (doubled) until the prefetched
+    page schedule ``perm [nb, Pg]`` fits the ~1MB SMEM window — at
+    1920x1080 over a ~500k-tri mesh the 8-row schedule alone is ~2MB and
+    refuses to compile.
     """
     from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
         TILE, _tile_remap)
@@ -280,6 +293,10 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     rp8 = paged.tri_pack.shape[1]
 
     b = ray_o.shape[0]
+    while ((-(-b // (block_rows * COLS))) * n_pages * 4 > SMEM_SCHEDULE_BUDGET
+           and block_rows * COLS < b):  # nb==1: nothing left to merge
+        block_rows *= 2
+    BLOCK = block_rows * COLS
     tiled = (image_shape is not None
              and b % (image_shape[0] * image_shape[1]) == 0
              and image_shape[0] % TILE == 0 and image_shape[1] % TILE == 0)
@@ -305,13 +322,14 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     nb = o_c[0].shape[0] // BLOCK
 
     def comp(x):
-        return x.reshape(nb * ROWS, COLS)
+        return x.reshape(nb * block_rows, COLS)
 
-    count, perm = _page_schedule_c(paged, o_c, d_c, t_max, nb)
+    count, perm = _page_schedule_c(paged, o_c, d_c, t_max, nb, BLOCK)
 
     # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
-        (ROWS, COLS), lambda i, cnt, perm: (i, 0), memory_space=pltpu.VMEM)
+        (block_rows, COLS), lambda i, cnt, perm: (i, 0),
+        memory_space=pltpu.VMEM)
     # Page arrays stay in HBM (ANY); the kernel streams them per block
     # with double-buffered DMAs into the VMEM scratch below.
     hbm_spec = pl.BlockSpec(memory_space=pltpu.ANY)
@@ -343,8 +361,8 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         _kernel,
         grid_spec=grid_spec,
         out_shape=(
-            jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.int32),
-            jax.ShapeDtypeStruct((nb * ROWS, COLS), jnp.float32),
+            jax.ShapeDtypeStruct((nb * block_rows, COLS), jnp.int32),
+            jax.ShapeDtypeStruct((nb * block_rows, COLS), jnp.float32),
         ),
         name="traverse_paged",
         # The surrounding XLA program pins extra buffers in VMEM when this

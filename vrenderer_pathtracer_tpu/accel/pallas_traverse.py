@@ -64,7 +64,7 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
     """One ray block vs the whole (VMEM-resident) BVH."""
     from vrenderer_pathtracer_tpu.accel.pallas_common import root_exit_clamp
 
-    slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
+    slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     # Node arrays arrive FLATTENED in SMEM (1-D, exact-size: 2-D SMEM
@@ -98,7 +98,7 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
                  ox, oy, oz, dx, dy, dz, tmax_ref,
                  slot_out, t_out, stack):
     """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
-    slot_out[:] = jnp.full((LANE_ROWS, LANE_COLS), -1, jnp.int32)
+    slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f[0:8, :])
@@ -141,18 +141,26 @@ def _tile_remap(x, h: int, w: int, inverse: bool = False):
     return x.reshape((-1,) + rest)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "image_shape"))
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "image_shape", "block_rows"))
 def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
-                     image_shape=None):
-    """Pallas packet traversal over [B] rays (B padded to 1024 internally).
+                     image_shape=None, block_rows=LANE_ROWS):
+    """Pallas packet traversal over [B] rays (B padded to a block multiple).
 
     Returns ``(slot [B] int32, t [B] f32)`` matching accel.traverse.traverse.
     ``image_shape=(h, w)``: rays are raster-ordered frames (B a multiple of
     h*w); ray blocks are remapped to compact 32x32 pixel tiles, which keeps
     hit/miss mixing — and with it the block-vote overtraversal — local to
     true silhouette tiles.
+
+    ``block_rows``: sublane rows per ray block (block = 128*rows rays).
+    Coherent packets measure flat in block size, but INCOHERENT waves are
+    saturated-vote-bound — every block's any-hit union reaches most of the
+    tree regardless of ray count, so a bigger block amortizes the per-visit
+    scalar chain over more rays (docs/PERF.md round 3).
     """
     b = ray_o.shape[0]
+    block = block_rows * LANE_COLS
     tiled = (image_shape is not None
              and b % (image_shape[0] * image_shape[1]) == 0
              and image_shape[0] % TILE == 0 and image_shape[1] % TILE == 0)
@@ -161,18 +169,18 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         ray_o = _tile_remap(ray_o, h, w)
         ray_d = _tile_remap(ray_d, h, w)
         t_max = _tile_remap(t_max, h, w)
-    pad = (-b) % BLOCK
+    pad = (-b) % block
     if pad:
         ray_o = jnp.concatenate([ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
         ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
         t_max = jnp.concatenate([t_max, jnp.zeros((pad,), t_max.dtype)])
-    nb = ray_o.shape[0] // BLOCK
+    nb = ray_o.shape[0] // block
 
-    def comp(x):  # [B] -> [nb*8, 128] tiles
-        return x.reshape(nb * LANE_ROWS, LANE_COLS)
+    def comp(x):  # [B] -> [nb*rows, 128] tiles
+        return x.reshape(nb * block_rows, LANE_COLS)
 
     ray_spec = pl.BlockSpec(
-        (LANE_ROWS, LANE_COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (block_rows, LANE_COLS), lambda i: (i, 0), memory_space=pltpu.VMEM
     )
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -207,8 +215,8 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         name=f"traverse_{'wide' if wide else 'bin'}",
         out_specs=(ray_spec, ray_spec),
         out_shape=(
-            jax.ShapeDtypeStruct((nb * LANE_ROWS, LANE_COLS), jnp.int32),
-            jax.ShapeDtypeStruct((nb * LANE_ROWS, LANE_COLS), jnp.float32),
+            jax.ShapeDtypeStruct((nb * block_rows, LANE_COLS), jnp.int32),
+            jax.ShapeDtypeStruct((nb * block_rows, LANE_COLS), jnp.float32),
         ),
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         # Headroom beyond the 16MB default so the kernel still fits when the

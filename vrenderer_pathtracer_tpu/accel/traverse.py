@@ -321,7 +321,8 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     )
 
 
-def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
+def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev,
+             block_rows=None):
     """Mesh intersection vs the running closest hit (integrator hook).
 
     The search runs on detached rays (the winning slot is discrete); hit
@@ -335,12 +336,13 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
     # raster remap would scramble that stronger ordering.
     img_shape = (None if settings.sort_rays
                  else (settings.height, settings.width))
+    rows = {} if block_rows is None else {"block_rows": block_rows}
     if settings.traversal == "pallas":
         import functools as _ft
 
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
 
-        search = _ft.partial(traverse_packets, image_shape=img_shape)
+        search = _ft.partial(traverse_packets, image_shape=img_shape, **rows)
     elif settings.traversal.startswith("pallas_paged"):
         import functools
 
@@ -350,6 +352,7 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev):
             traverse_paged,
             interpret=settings.traversal.endswith("interpret"),
             image_shape=img_shape,
+            **rows,
         )
     else:
         search = traverse

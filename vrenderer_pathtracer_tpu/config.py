@@ -60,6 +60,12 @@ class RenderSettings:
     # Sort rays by (direction octant, origin Morton) before packet traversal
     # to restore block coherence for bounce rays (accel/sorting.py).
     sort_rays: bool = False
+    # Ray-block sublane rows (block = 128*rows rays) for BOUNCE-wave packet
+    # traversal (bounce >= 1).  0 = kernel default (8 for the single-level
+    # packet kernel, 16 for the paged kernel — the measured optima,
+    # .bench/rows_sweep.py; bigger blocks LOSE even on shuffled waves: the
+    # any-hit union grows with ray count rather than saturating).
+    bounce_block_rows: int = 0
     # Forward radiance backend: "auto" resolves (scene/scene.py) to
     # "pallas" (analytic-Cornell megakernel, render/pallas_radiance.py) or
     # "pallas_mesh" (general-scene fused kernel with deferred asset

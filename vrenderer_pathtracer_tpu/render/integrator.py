@@ -175,7 +175,7 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
 
 
 def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d,
-                    alive=None) -> HitData:
+                    alive=None, block_rows=None) -> HitData:
     """Scene intersection in the reference's priority order
     (``cuda/src/PathTracer.cu:136-468``): cornell+analytic spheres, then the
     example sphere *or* the mesh, later hits winning only if strictly closer.
@@ -196,7 +196,8 @@ def intersect_scene(scene: Scene, settings: RenderSettings, ray_o, ray_d,
 
         if alive is not None:
             hd = hd._replace(t=jnp.where(alive, hd.t, 0.0))
-        hd = mesh_hit(scene, settings, ray_o, ray_d, hd)
+        hd = mesh_hit(scene, settings, ray_o, ray_d, hd,
+                      block_rows=block_rows)
     return hd
 
 
@@ -236,8 +237,11 @@ def radiance(
 
     def bounce_step(carry, *, bounce):
         ray_o, ray_d, mask, accum, depth, alive, killed = carry
-        hd = intersect_scene(scene, settings, ray_o, ray_d,
-                             alive=None if bounce == 0 else alive)
+        hd = intersect_scene(
+            scene, settings, ray_o, ray_d,
+            alive=None if bounce == 0 else alive,
+            block_rows=(None if bounce == 0
+                        else settings.bounce_block_rows or None))
         miss = alive & ~hd.hit
         live_hit = alive & hd.hit
 
