@@ -240,6 +240,46 @@ class TrainParams(NamedTuple):
         )
 
 
+@jax.custom_vjp
+def _id_allreduce(v):
+    return v
+
+
+def _id_fwd(v):
+    return v, None
+
+
+def _id_bwd(_, g):
+    return (lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS),)
+
+
+_id_allreduce.defvjp(_id_fwd, _id_bwd)
+
+
+def allreduce_grads_in_bwd(params):
+    """Identity on ``params`` whose VJP all-reduces each leaf's cotangent.
+
+    Wrapping the parameters at the TOP of the loss function plants one
+    psum+pmean per parameter *inside the backward program, at the point
+    where that parameter's gradient is finalized* — instead of one
+    bulk reduction after ``value_and_grad`` returns.  XLA's latency-hiding
+    scheduler can then overlap each collective with the remaining backward
+    compute (BASELINE north star: grads "all-reduced via psum overlapped
+    with the backward pass").  Each array leaf is wrapped separately so
+    independent parameters reduce independently; values are identical to
+    the post-hoc reduction (psum placement commutes with the pure
+    per-shard backward), which the sharded-vs-single-device parity tests
+    in tests/test_sharding.py pin down.
+
+    Overlap realism: parameters touched at every bounce (env map, MERL
+    table) finalize only at the END of the backward pass, so their psum
+    can only overlap the loss-head epilogue; small scalars (fresnel)
+    finalize earlier and overlap fully.  The mechanism costs nothing
+    either way and removes the all-at-once reduction barrier.
+    """
+    return jax.tree.map(_id_allreduce, params)
+
+
 def _apply_params(scene: Scene, params: TrainParams) -> Scene:
     scene = scene._replace(
         spheres=scene.spheres._replace(color=params.color, emission=params.emission)
@@ -276,6 +316,7 @@ def sharded_opt_step(mesh: Mesh, settings: RenderSettings, optimizer,
     )
     def _step(params, opt_state, scene, camera, target, frame):
         def loss_fn(p):
+            p = allreduce_grads_in_bwd(p)
             cam = p.camera if p.camera is not None else camera
             rgb, _ = _shard_pass(
                 _apply_params(scene, p), cam, frame,
@@ -283,10 +324,9 @@ def sharded_opt_step(mesh: Mesh, settings: RenderSettings, optimizer,
             )
             return jnp.sum((rgb - target) ** 2) * inv_n
 
+        # Per-leaf psums ride in the BACKWARD program (allreduce_grads_in_bwd),
+        # so grads arrive already reduced over both mesh axes.
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.tree.map(
-            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
-        )
         loss = lax.psum(loss, TILE_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -371,6 +411,7 @@ def sharded_deferred_opt_step(mesh: Mesh, settings: RenderSettings,
     def _step(params, opt_state, scene, camera, target, frame,
               fresnel_coef, fresnel_pow):
         def loss_fn(p):
+            p = allreduce_grads_in_bwd(p)
             rgb, _ = _shard_pass(
                 _apply_deferred(scene, p), camera, frame,
                 fresnel_coef, fresnel_pow, settings, seed, local_spp,
@@ -378,9 +419,6 @@ def sharded_deferred_opt_step(mesh: Mesh, settings: RenderSettings,
             return jnp.sum((rgb - target) ** 2) * inv_n
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        grads = jax.tree.map(
-            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
-        )
         loss = lax.psum(loss, TILE_AXIS)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = jax.tree.map(lambda p, u: p + u, params, updates)
@@ -424,6 +462,12 @@ def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
     )
     def _step(params, scene, camera, target, frame):
         def loss_fn(p):
+            # Under unchecked shard_map, psum transposes to psum, so the
+            # pmean on the forward path hands each sample shard the FULL
+            # cotangent: local grads are d(rgb_k)·g.  The gradient of the
+            # sample-MEAN, tile-SUM loss is pmean over samples, psum over
+            # tiles — planted per-leaf in the backward program here.
+            p = allreduce_grads_in_bwd(p)
             cam = p.camera if p.camera is not None else camera
             rgb, _ = _shard_pass(
                 _apply_params(scene, p), cam, frame,
@@ -434,13 +478,6 @@ def sharded_train_step(mesh: Mesh, settings: RenderSettings, seed: int = 0,
             return jnp.sum((rgb - target) ** 2) * inv_n
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
-        # Under unchecked shard_map, psum transposes to psum, so the pmean
-        # on the forward path hands each sample shard the FULL cotangent:
-        # local grads are d(rgb_k)·g.  The gradient of the sample-MEAN,
-        # tile-SUM loss is therefore pmean over samples, psum over tiles.
-        grads = jax.tree.map(
-            lambda g: lax.psum(lax.pmean(g, SAMPLE_AXIS), TILE_AXIS), grads
-        )
         loss = lax.psum(loss, TILE_AXIS)
         params = jax.tree.map(lambda p, g: p - lr * g, params, grads)
         if not with_metrics:
