@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
-    make_slab_any, safe_inv, wide_packet_traverse)
+    make_slab_any, safe_inv, wide_packet_traverse_dual)
 from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.scene.scene import MeshData
 
@@ -162,7 +162,11 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
         def _():
             for j in range(16):
                 buf_u[j] = pltpu.roll(buf_i[slot], (128 - 8 * j) & 127, 1)
-            wide_packet_traverse(
+            # Dual-node visits: two disjoint stack entries per iteration
+            # interleave their scalar<->vector sync chains (measured +20%
+            # coherent / +15% shuffled on the packet kernel, BASELINE.md
+            # round 3).
+            wide_packet_traverse_dual(
                 o, d, t_out, slot_out, stack,
                 node_boxes=node_boxes,
                 node_meta=node_meta,

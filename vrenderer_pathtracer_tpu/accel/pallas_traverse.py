@@ -96,8 +96,11 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
 
 def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
                  ox, oy, oz, dx, dy, dz, tmax_ref,
-                 slot_out, t_out, stack):
+                 slot_out, t_out, stack, dual=False):
     """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
+    from vrenderer_pathtracer_tpu.accel.pallas_common import (
+        wide_packet_traverse_dual)
+
     slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -108,7 +111,7 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
         cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
         return refs, cnts, nodes8_ax[n], 0
 
-    wide_packet_traverse(
+    (wide_packet_traverse_dual if dual else wide_packet_traverse)(
         o, d,
         t_out, slot_out, stack,
         node_boxes=lambda n: nodes8_f[pl.ds(pl.multiple_of(n * 8, 8), 8), :],
@@ -142,9 +145,10 @@ def _tile_remap(x, h: int, w: int, inverse: bool = False):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "image_shape", "block_rows"))
+                   static_argnames=("interpret", "image_shape", "block_rows",
+                                    "dual"))
 def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
-                     image_shape=None, block_rows=LANE_ROWS):
+                     image_shape=None, block_rows=LANE_ROWS, dual=True):
     """Pallas packet traversal over [B] rays (B padded to a block multiple).
 
     Returns ``(slot [B] int32, t [B] f32)`` matching accel.traverse.traverse.
@@ -193,7 +197,7 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     # lanes (a [M,12] window would balloon ~10x past the ~1MB SMEM budget).
     wide = mesh.nodes8_f is not None
     if wide:
-        kernel = _kernel_wide
+        kernel = functools.partial(_kernel_wide, dual=dual)
         scene_args = (mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
                       mesh.nodes8_ax.reshape(-1), mesh.tri_pack)
         # Boxes [N*8,8] and triangle leaf blocks [T8,16] in VMEM (both
