@@ -5,7 +5,7 @@
 import numpy as np
 
 from vrenderer_pathtracer_tpu.accel.wide import (
-    build_dense_page, sweep_sah_boxes)
+    WIDE_STACK_DEPTH, build_dense_page, stack_need, sweep_sah_boxes)
 
 
 def _tris(n, seed=0, extent=10.0):
@@ -89,6 +89,79 @@ def test_build_dense_page_empty_subblock_boxes_inverted():
         for j in range(8):
             if n8i[w, 2 * j + 1] < 0:  # empty slot
                 assert (n8f[w * 8 + j, 0:3] > n8f[w * 8 + j, 3:6]).all()
+
+
+def _sim_dual_stack(children):
+    """Worst-case (every child hits) stack occupancy of the DUAL traversal
+    discipline (pallas_common, nodes_per_visit=2): pop two entries, push
+    all inner children of both, far-to-near order irrelevant for the
+    bound.  Mirrors the kernel's pop-at-end-of-iteration shape."""
+    stack, maxsp = [], 0
+    na, nb = 0, None
+    while na is not None:
+        for n in (na, nb):
+            if n is None:
+                continue
+            stack.extend(reversed(children.get(n, [])))
+        maxsp = max(maxsp, len(stack))
+        na = stack.pop() if stack else None
+        nb = stack.pop() if stack else None
+    return maxsp
+
+
+def test_dual_stack_bound_complete_trees():
+    """stack_need() covers the dual traversal's worst case: a complete
+    8-ary tree measures max occupancy 14*depth - 6, and no simulated
+    random shape beats ~14 entries per level (the guard the ADVICE
+    round-3 medium finding asked for — the old 7*depth+1 single-node
+    bound underestimates the dual body's 16-push/2-pop iterations)."""
+    for depth in range(1, 7):
+        children, nid = {}, [0]
+
+        def build(n, d):
+            if d == 0:
+                return
+            kids = []
+            for _ in range(8):
+                nid[0] += 1
+                kids.append(nid[0])
+            children[n] = kids
+            for k in kids:
+                build(k, d - 1)
+
+        build(0, depth)
+        occ = _sim_dual_stack(children)
+        # wide levels = depth + 1 in collapse_bvh8's counting (root = 1)
+        assert occ <= stack_need(depth), (depth, occ)
+    # Random lopsided shapes stay under the bound too.
+    rng = np.random.default_rng(7)
+    for _ in range(200):
+        children, nid, maxd = {}, [0], [0]
+
+        def build(n, d, budget):
+            maxd[0] = max(maxd[0], d)
+            if budget[0] <= 0 or d >= 12:
+                return
+            kids = []
+            for _ in range(int(rng.choice([0, 1, 2, 3, 8]))):
+                nid[0] += 1
+                kids.append(nid[0])
+                budget[0] -= 1
+            if kids:
+                children[n] = kids
+            for k in kids:
+                build(k, d + 1, budget)
+
+        build(0, 0, [2000])
+        assert _sim_dual_stack(children) <= stack_need(max(maxd[0], 1))
+
+
+def test_dense_page_depth_passes_dual_guard():
+    """Real dense pages report depths whose dual stack need fits SMEM."""
+    v0, e1, e2 = _tris(2000, seed=5)
+    _, _, _, depth = build_dense_page(
+        v0, e1, e2, np.zeros((2000, 6), np.float32))
+    assert stack_need(depth) <= WIDE_STACK_DEPTH
 
 
 def test_native_dense_page_matches_invariants():

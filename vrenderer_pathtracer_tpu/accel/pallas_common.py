@@ -245,7 +245,7 @@ def make_pack_test_fn(o, d, t_out, slot_out, on_win=None):
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
                          node_boxes, node_meta, n_nodes,
                          leaf_blk=None, dense=False, dense_pack=None,
-                         on_win=None, visit_acc=None):
+                         on_win=None, visit_acc=None, nodes_per_visit=1):
     """8-wide packet traversal (accel/wide.py layout) for one ray block.
 
     Per visit, ALL EIGHT child boxes arrive in one aligned (8,8) VECTOR
@@ -268,8 +268,12 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     leaf-parent flag (anything for non-dense layouts).  The kernel owning
     the storage decides how many scalar reads that costs — the paged
     layout packs a whole child record into ONE int32 word (8 reads/visit),
-    the SMEM layout reads 16+1.  The stack must hold ``7*depth+1`` entries
-    (checked at build time against WIDE_STACK_DEPTH).
+    the SMEM layout reads 16+1.  The stack must hold ``stack_need(depth)``
+    entries (checked at build time against WIDE_STACK_DEPTH; the bound
+    covers the dual-node worst case of ~14 residual entries per level).
+
+    ``nodes_per_visit=2`` selects the dual-node body (see
+    :func:`wide_packet_traverse_dual`).
 
     Leaf layouts (exactly one must be given):
     - ``leaf_blk(ref)`` — (8,16) aligned leaf block (leaf refs in
@@ -290,12 +294,12 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     # deltas are exact.  "count" stashes per-block visit counts in slot row
     # 0 (.bench/visit_count.py).  Losing design variants measured this way
     # (single-scalar vote, carry-the-near-child, box prefetch-into-carry)
-    # are recorded in docs/PERF.md and were removed from the body.
+    # are recorded in docs/PERF.md and were removed from the body.  Probes
+    # apply to the single-node body only (the measurement baseline).
     EXP = os.environ.get("VPT_TRAV_EXP", "")            # dup_* cost probes
     inv = safe_inv(d)
     if dense:
-        assert on_win is None, "dense leaf layout has no on_win hook yet"
-        test = make_pack_test_fn(o, d, t_out, slot_out)
+        test = make_pack_test_fn(o, d, t_out, slot_out, on_win)
     else:
         leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win)
     dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
@@ -304,103 +308,46 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     w_hi = jnp.where(rows >= 4, jnp.left_shift(1, 8 * (rows - 4)), 0)
     n_groups = o[0].shape[0]
 
-    def body(carry):
-        # The current node rides in the loop carry (popped at the END of
-        # the previous iteration).  Measured dead ends (docs/PERF.md): a
-        # carry-the-near-child descent and a prefetch-the-next-box carry
-        # both LOST to this plain pop — their select chains cost more than
-        # the SMEM round trip they saved, and dynamic-index vector loads
-        # are an issue-cost, not a hidable latency.
-        sp, node, it = carry
-        refs, cnts, ax, is_lp = node_meta(node)
-        neg = jnp.where(ax == 0, dneg[0], jnp.where(ax == 1, dneg[1], dneg[2]))
-        best = t_out[:]
-        boxes = node_boxes(node)                  # (8, >=6): child boxes
-        if EXP == "dup_load_pure":  # extra dynamic load, folded w/o syncs:
-            b2 = node_boxes(jnp.maximum(node - 1, 0))
-            # pad cols 6:8 are 0.0 by construction; data-dependent so the
-            # compiler cannot fold the multiply away.
-            boxes = boxes + b2[:, 6:7] * 7.0
+    def slab8(boxes, bias=0.0):
+        """Eight-child slab test -> (8, C) any-hit accumulator.  ``bias``
+        shifts every plane distance (probe-only: lets dup_slab duplicate
+        the full phase without the compiler folding the copies)."""
         lo = [boxes[:, k:k + 1] for k in range(3)]
         hi = [boxes[:, 3 + k:4 + k] for k in range(3)]
-        shape = (8, best.shape[1])
+        shape = (8, t_out.shape[1])
         acc = jnp.zeros(shape, jnp.int32)
+        best = t_out[:]
         for g in range(n_groups):
             tn = jnp.full(shape, -jnp.inf)
             tf = jnp.full(shape, jnp.inf)
             for k in range(3):
                 og = jnp.broadcast_to(o[k][g:g + 1, :], shape)
                 ig = jnp.broadcast_to(inv[k][g:g + 1, :], shape)
-                t0 = (lo[k] - og) * ig
-                t1 = (hi[k] - og) * ig
+                t0 = (lo[k] - og) * ig + bias
+                t1 = (hi[k] - og) * ig + bias
                 tn = jnp.maximum(tn, jnp.minimum(t0, t1))
                 tf = jnp.minimum(tf, jnp.maximum(t0, t1))
             bg = jnp.broadcast_to(best[g:g + 1, :], shape)
             hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bg)
             acc = acc | hit.astype(jnp.int32)
-        if EXP == "dup_slab":  # cost probe: slab work twice, result unused
-            for g in range(n_groups):
-                tn = jnp.full(shape, -jnp.inf)
-                tf = jnp.full(shape, jnp.inf)
-                for k in range(3):
-                    og = jnp.broadcast_to(o[k][g:g + 1, :], shape)
-                    ig = jnp.broadcast_to(inv[k][g:g + 1, :], shape)
-                    t0 = (lo[k] - og) * ig + 1.0
-                    t1 = (hi[k] - og) * ig + 1.0
-                    tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                    tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-                # Fold with a runtime-never-true, compile-time-unprovable
-                # predicate so the probe work can't be DCE'd.
-                acc = acc | ((tn == 123456.78125)
-                             & (tf == -987654.3125)).astype(jnp.int32)
-        # All eight any-hit votes from two packed count reductions.  (A
-        # one-reduction variant — per-child any via jnp.max then one
-        # weighted sum — measured 0.5ms SLOWER on the bench view: int max
-        # lowers worse than the sum+shift pair.)
+        return acc
+
+    def vote(acc):
+        """All eight any-hit votes from two packed count reductions.  (A
+        one-reduction variant — per-child any via jnp.max then one
+        weighted sum — measured 0.5ms SLOWER on the bench view: int max
+        lowers worse than the sum+shift pair.)"""
         counts = jnp.sum(acc, axis=1, keepdims=True)
-        s_lo = jnp.sum(counts * w_lo)
-        s_hi = jnp.sum(counts * w_hi)
-        bits = ([(jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0
+        return jnp.sum(counts * w_lo), jnp.sum(counts * w_hi)
+
+    def extract_bits(s_lo, s_hi, valid=True):
+        return ([((jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0) & valid
                  for c in range(4)]
-                + [(jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0
+                + [((jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0) & valid
                    for c in range(4)])
-        if EXP == "dup_vote":  # cost probe: vote reduction+extract twice
-            c2 = jnp.sum(acc + acc, axis=1, keepdims=True)
-            x_lo = jnp.sum(c2 * w_lo)
-            x_hi = jnp.sum(c2 * w_hi)
-            never = (x_lo & x_hi) == -12345
-            bits = [b & (~never) for b in bits]
-        if EXP == "dup_reads":  # cost probe: the child-record reads twice
-            off = jnp.where(s_lo == -12345, 1, 0)  # runtime 0, unprovable
-            r2, c2_, a2, l2_ = node_meta(node + off)
-            extra = a2
-            for c in range(8):
-                extra = extra | r2[c] | c2_[c]
-            never = extra == -12345
-            bits = [b & (~never) for b in bits]
 
-        if EXP == "dup_boxes":  # cost probe: the (8,8) box vector load twice
-            off = jnp.where(s_lo == -12345, 1, 0)
-            b2 = node_boxes(node + off)
-            never = (jnp.sum(b2[:, 0:1]) == 1.2345e-13)
-            bits = [b & (~never) for b in bits]
-        if EXP == "dup_boxes_static":  # same load at a STATIC node index
-            off = jnp.where(s_lo == -12345, 1.0, 0.0)
-            b2 = node_boxes(0)
-            never = (jnp.sum(b2[:, 0:1]) + off == 1.2345e-13)
-            bits = [b & (~never) for b in bits]
-        if EXP == "dup_slice":  # re-slice the loaded boxes into lo/hi
-            l2 = [boxes[:, k:k + 1] + 1.0 for k in range(3)]
-            h2 = [boxes[:, 3 + k:4 + k] + 1.0 for k in range(3)]
-            acc2 = (l2[0] + l2[1] + l2[2] + h2[0] + h2[1] + h2[2])
-            never = jnp.sum(acc2) == 1.2345e-13
-            bits = [b & (~never) for b in bits]
-        if EXP == "dup_branch":  # cost probe: 8 extra not-taken branches
-            for j in range(8):
-                @pl.when(bits[j] & (cnts[j] > -99999))
-                def _(j=j):
-                    stack[stack.shape[0] - 1 - j] = jnp.int32(0)
-
+    def leaves_and_push(sp, bits, refs, cnts, ax, is_lp):
+        neg = jnp.where(ax == 0, dneg[0], jnp.where(ax == 1, dneg[1], dneg[2]))
         if dense:
             # Leaf-parent: child j IS sub-block j of pack row-group grp —
             # its lane offset 16*j is static, which is what permits the
@@ -426,6 +373,8 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
 
         # Inner pushes far-to-near, so the near child pops first.  Writes
         # are unconditional select(push, ...) RMWs — no scalar branches.
+        # No bounds clamp: the build-time guard (accel/wide.py stack_need)
+        # sizes WIDE_STACK_DEPTH for the dual worst case (14/level).
         for j in range(8):
             b = jnp.where(neg, bits[j], bits[7 - j])
             ref = jnp.where(neg, refs[j], refs[7 - j])
@@ -433,37 +382,134 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
             push = b & (cnt == 0)
             stack[sp] = jnp.where(push, ref, stack[sp])
             sp = sp + push.astype(jnp.int32)
-        if EXP == "dup_push":  # cost probe: selects + RMW chain twice,
-            sp2 = sp + 128     # shadowed into unused upper stack slots
-            for j in range(8):
-                b = jnp.where(neg, bits[j], bits[7 - j])
-                ref = jnp.where(neg, refs[j], refs[7 - j]) + 1
-                cnt = jnp.where(neg, cnts[j], cnts[7 - j])
-                push = b & (cnt == 0)
-                i2 = jnp.minimum(sp2, stack.shape[0] - 1)
-                stack[i2] = jnp.where(push, ref, stack[i2])
-                sp2 = sp2 + push.astype(jnp.int32)
-        top = stack[jnp.maximum(sp - 1, 0)]
-        nxt = jnp.where(sp > 0, top, jnp.int32(-1))
-        sp = jnp.maximum(sp - 1, 0)
-        return sp, nxt, it + 1
+        return sp
 
-    fin = lax.while_loop(
-        lambda c: (c[1] >= 0) & (c[2] < n_nodes + 8),
-        body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
-    )
+    if nodes_per_visit == 1:
+        def body(carry):
+            # The current node rides in the loop carry (popped at the END
+            # of the previous iteration).  Measured dead ends
+            # (docs/PERF.md): a carry-the-near-child descent and a
+            # prefetch-the-next-box carry both LOST to this plain pop —
+            # their select chains cost more than the SMEM round trip they
+            # saved, and dynamic-index vector loads are an issue-cost, not
+            # a hidable latency.
+            sp, node, it = carry
+            refs, cnts, ax, is_lp = node_meta(node)
+            boxes = node_boxes(node)              # (8, >=6): child boxes
+            if EXP == "dup_load_pure":  # extra dynamic load, no syncs:
+                b2 = node_boxes(jnp.maximum(node - 1, 0))
+                # pad cols 6:8 are 0.0 by construction; data-dependent so
+                # the compiler cannot fold the multiply away.
+                boxes = boxes + b2[:, 6:7] * 7.0
+            acc = slab8(boxes)
+            s_lo, s_hi = vote(acc)
+            bits = extract_bits(s_lo, s_hi)
+            if EXP == "dup_slab":  # cost probe: slab work twice, unused —
+                # folded with a runtime-never-true, compile-time-unprovable
+                # predicate so the probe work can't be DCE'd.
+                never = jnp.sum(slab8(boxes, bias=1.0)) == -12345
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_vote":  # cost probe: vote reduction+extract x2
+                x_lo, x_hi = vote(acc + acc)
+                never = (x_lo & x_hi) == -12345
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_reads":  # cost probe: child-record reads twice
+                off = jnp.where(s_lo == -12345, 1, 0)  # runtime 0
+                r2, c2_, a2, l2_ = node_meta(node + off)
+                extra = a2
+                for c in range(8):
+                    extra = extra | r2[c] | c2_[c]
+                never = extra == -12345
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_boxes":  # cost probe: (8,8) box load twice
+                off = jnp.where(s_lo == -12345, 1, 0)
+                b2 = node_boxes(node + off)
+                never = (jnp.sum(b2[:, 0:1]) == 1.2345e-13)
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_boxes_static":  # same load, STATIC node index
+                off = jnp.where(s_lo == -12345, 1.0, 0.0)
+                b2 = node_boxes(0)
+                never = (jnp.sum(b2[:, 0:1]) + off == 1.2345e-13)
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_slice":  # re-slice the loaded boxes into lo/hi
+                l2 = [boxes[:, k:k + 1] + 1.0 for k in range(3)]
+                h2 = [boxes[:, 3 + k:4 + k] + 1.0 for k in range(3)]
+                acc2 = (l2[0] + l2[1] + l2[2] + h2[0] + h2[1] + h2[2])
+                never = jnp.sum(acc2) == 1.2345e-13
+                bits = [b & (~never) for b in bits]
+            if EXP == "dup_branch":  # cost probe: 8 extra untaken branches
+                for j in range(8):
+                    @pl.when(bits[j] & (cnts[j] > -99999))
+                    def _(j=j):
+                        stack[stack.shape[0] - 1 - j] = jnp.int32(0)
+
+            sp = leaves_and_push(sp, bits, refs, cnts, ax, is_lp)
+            if EXP == "dup_push":  # cost probe: selects + RMW chain twice,
+                sp2 = sp + 128     # shadowed into unused upper stack slots
+                neg = jnp.where(ax == 0, dneg[0],
+                                jnp.where(ax == 1, dneg[1], dneg[2]))
+                for j in range(8):
+                    b = jnp.where(neg, bits[j], bits[7 - j])
+                    ref = jnp.where(neg, refs[j], refs[7 - j]) + 1
+                    cnt = jnp.where(neg, cnts[j], cnts[7 - j])
+                    push = b & (cnt == 0)
+                    i2 = jnp.minimum(sp2, stack.shape[0] - 1)
+                    stack[i2] = jnp.where(push, ref, stack[i2])
+                    sp2 = sp2 + push.astype(jnp.int32)
+            top = stack[jnp.maximum(sp - 1, 0)]
+            nxt = jnp.where(sp > 0, top, jnp.int32(-1))
+            sp = jnp.maximum(sp - 1, 0)
+            return sp, nxt, it + 1
+
+        fin = lax.while_loop(
+            lambda c: (c[1] >= 0) & (c[2] < n_nodes + 8),
+            body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+        )
+        visits = fin[2]
+    else:
+        assert nodes_per_visit == 2
+
+        def body(carry):
+            sp, na, nb, vis, it = carry
+            vb = nb >= 0
+            # Interleave the two nodes' chains: all scalar record reads and
+            # both vector box loads issue first, then both slab/vote
+            # blocks, so neither node's extracts stall an idle scalar unit.
+            meta_a = node_meta(na)
+            meta_b = node_meta(jnp.maximum(nb, 0))
+            boxes_a = node_boxes(na)
+            boxes_b = node_boxes(jnp.maximum(nb, 0))
+            acc_a = slab8(boxes_a)
+            acc_b = slab8(boxes_b)
+            bits_a = extract_bits(*vote(acc_a))
+            bits_b = extract_bits(*vote(acc_b), vb)
+            sp = leaves_and_push(sp, bits_a, *meta_a)
+            sp = leaves_and_push(sp, bits_b, *meta_b)
+            top = stack[jnp.maximum(sp - 1, 0)]
+            na2 = jnp.where(sp > 0, top, jnp.int32(-1))
+            sp = jnp.maximum(sp - 1, 0)
+            top = stack[jnp.maximum(sp - 1, 0)]
+            nb2 = jnp.where(sp > 0, top, jnp.int32(-1))
+            sp = jnp.maximum(sp - 1, 0)
+            return sp, na2, nb2, vis + 1 + vb.astype(jnp.int32), it + 1
+
+        fin = lax.while_loop(
+            lambda c: (c[1] >= 0) & (c[4] < n_nodes + 8),
+            body,
+            (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
+             jnp.int32(0)),
+        )
+        visits = fin[3]
+
     if EXP == "count":  # visit-count probe (clobbers slot row 0)
         if visit_acc is not None:
-            visit_acc[0] = visit_acc[0] + fin[2]
+            visit_acc[0] = visit_acc[0] + visits
         else:
-            slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + fin[2]
+            slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + visits
 
 
-def wide_packet_traverse_dual(o, d, t_out, slot_out, stack, *,
-                              node_boxes, node_meta, n_nodes,
-                              leaf_blk=None, dense=False, dense_pack=None,
-                              visit_acc=None):
+def wide_packet_traverse_dual(o, d, t_out, slot_out, stack, **kw):
     """:func:`wide_packet_traverse` processing TWO stack entries per
     iteration (VERDICT round-2 #1 suggestion: "process 2-4 nodes per
     scalar step").
@@ -477,110 +523,11 @@ def wide_packet_traverse_dual(o, d, t_out, slot_out, stack, *,
     results (~0.9 µs of a 1.1 µs visit, docs/PERF.md §2); two independent
     chains interleaved give the scalar unit node B's work while node A's
     reductions drain.  The second node is masked (``valid``) when the
-    stack holds fewer than two entries.  Opt-in; equivalence is pinned by
+    stack holds fewer than two entries.  Equivalence is pinned by
     tests/test_pallas_traverse.py.
     """
-    inv = safe_inv(d)
-    if dense:
-        test = make_pack_test_fn(o, d, t_out, slot_out)
-    else:
-        leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk)
-    dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
-    rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
-    w_lo = jnp.where(rows < 4, jnp.left_shift(1, 8 * rows), 0)
-    w_hi = jnp.where(rows >= 4, jnp.left_shift(1, 8 * (rows - 4)), 0)
-    n_groups = o[0].shape[0]
-
-    def slab8(boxes):
-        lo = [boxes[:, k:k + 1] for k in range(3)]
-        hi = [boxes[:, 3 + k:4 + k] for k in range(3)]
-        shape = (8, t_out.shape[1])
-        acc = jnp.zeros(shape, jnp.int32)
-        best = t_out[:]
-        for g in range(n_groups):
-            tn = jnp.full(shape, -jnp.inf)
-            tf = jnp.full(shape, jnp.inf)
-            for k in range(3):
-                og = jnp.broadcast_to(o[k][g:g + 1, :], shape)
-                ig = jnp.broadcast_to(inv[k][g:g + 1, :], shape)
-                t0 = (lo[k] - og) * ig
-                t1 = (hi[k] - og) * ig
-                tn = jnp.maximum(tn, jnp.minimum(t0, t1))
-                tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-            bg = jnp.broadcast_to(best[g:g + 1, :], shape)
-            hit = jnp.maximum(tn, 0.0) <= jnp.minimum(tf, bg)
-            acc = acc | hit.astype(jnp.int32)
-        return acc
-
-    def bits_of(acc, valid):
-        counts = jnp.sum(acc, axis=1, keepdims=True)
-        s_lo = jnp.sum(counts * w_lo)
-        s_hi = jnp.sum(counts * w_hi)
-        return ([((jnp.right_shift(s_lo, 8 * c) & 0xFF) > 0) & valid
-                 for c in range(4)]
-                + [((jnp.right_shift(s_hi, 8 * c) & 0xFF) > 0) & valid
-                   for c in range(4)])
-
-    def leaves_and_push(sp, bits, refs, cnts, ax, is_lp):
-        neg = jnp.where(ax == 0, dneg[0], jnp.where(ax == 1, dneg[1], dneg[2]))
-        if dense:
-            lp_b = is_lp != 0
-            grp = refs[0]
-            for j in range(8):
-                @pl.when(lp_b & bits[j] & (cnts[j] > 0))
-                def _(j=j, grp=grp):
-                    test(dense_pack[pl.ds(grp * 8, 8),
-                                    16 * j: 16 * j + 16], grp * 8)
-        else:
-            for j in range(8):
-                @pl.when(bits[j] & (cnts[j] > 0))
-                def _(ref=refs[j], cnt=cnts[j]):
-                    leaf(ref, cnt)
-        for j in range(8):
-            b = jnp.where(neg, bits[j], bits[7 - j])
-            ref = jnp.where(neg, refs[j], refs[7 - j])
-            cnt = jnp.where(neg, cnts[j], cnts[7 - j])
-            push = b & (cnt == 0)
-            stack[sp] = jnp.where(push, ref, stack[sp])
-            sp = sp + push.astype(jnp.int32)
-        return sp
-
-    def body(carry):
-        sp, na, nb, vis, it = carry
-        vb = nb >= 0
-        # Interleave the two nodes' chains: all scalar record reads and
-        # both vector box loads issue first, then both slab/vote blocks,
-        # so neither node's extracts stall an idle scalar unit.
-        meta_a = node_meta(na)
-        meta_b = node_meta(jnp.maximum(nb, 0))
-        boxes_a = node_boxes(na)
-        boxes_b = node_boxes(jnp.maximum(nb, 0))
-        acc_a = slab8(boxes_a)
-        acc_b = slab8(boxes_b)
-        bits_a = bits_of(acc_a, True)
-        bits_b = bits_of(acc_b, vb)
-        sp = leaves_and_push(sp, bits_a, *meta_a)
-        sp = leaves_and_push(sp, bits_b, *meta_b)
-        top = stack[jnp.maximum(sp - 1, 0)]
-        na2 = jnp.where(sp > 0, top, jnp.int32(-1))
-        sp = jnp.maximum(sp - 1, 0)
-        top = stack[jnp.maximum(sp - 1, 0)]
-        nb2 = jnp.where(sp > 0, top, jnp.int32(-1))
-        sp = jnp.maximum(sp - 1, 0)
-        return sp, na2, nb2, vis + 1 + vb.astype(jnp.int32), it + 1
-
-    fin = lax.while_loop(
-        lambda c: (c[1] >= 0) & (c[4] < n_nodes + 8),
-        body,
-        (jnp.int32(0), jnp.int32(0), jnp.int32(-1), jnp.int32(0),
-         jnp.int32(0)),
-    )
-    import os
-    if os.environ.get("VPT_TRAV_EXP", "") == "count":
-        if visit_acc is not None:
-            visit_acc[0] = visit_acc[0] + fin[3]
-        else:
-            slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + fin[3]
+    return wide_packet_traverse(o, d, t_out, slot_out, stack,
+                                nodes_per_visit=2, **kw)
 
 
 def packet_traverse(o, d, t_out, slot_out, stack, *,

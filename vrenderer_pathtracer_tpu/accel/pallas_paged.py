@@ -266,8 +266,6 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
 SMEM_SCHEDULE_BUDGET = 768 * 1024  # bytes for the prefetched (count, perm)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("interpret", "image_shape", "block_rows"))
 def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
                    image_shape=None, block_rows=2 * ROWS):
     """Two-level paged traversal over [B] rays.  Same contract as
@@ -285,8 +283,24 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     .bench/rows_sweep.py).  Auto-escalated (doubled) until the prefetched
     page schedule ``perm [nb, Pg]`` fits the ~1MB SMEM window — at
     1920x1080 over a ~500k-tri mesh the 8-row schedule alone is ~2MB and
-    refuses to compile.
+    refuses to compile.  The escalation runs in THIS un-jitted wrapper so
+    the inner jit's static ``block_rows`` always reflects the
+    ``SMEM_SCHEDULE_BUDGET`` in force at call time (a trace-time read
+    inside the jit would not be part of the cache key).
     """
+    n_pages = mesh.paged.nodes8_f.shape[0]
+    b = ray_o.shape[0]
+    while ((-(-b // (block_rows * COLS))) * n_pages * 4 > SMEM_SCHEDULE_BUDGET
+           and block_rows * COLS < b):  # nb==1: nothing left to merge
+        block_rows *= 2
+    return _traverse_paged(mesh, ray_o, ray_d, t_max, interpret=interpret,
+                           image_shape=image_shape, block_rows=block_rows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("interpret", "image_shape", "block_rows"))
+def _traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret,
+                    image_shape, block_rows):
     from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
         TILE, _tile_remap)
 
@@ -297,9 +311,6 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     rp8 = paged.tri_pack.shape[1]
 
     b = ray_o.shape[0]
-    while ((-(-b // (block_rows * COLS))) * n_pages * 4 > SMEM_SCHEDULE_BUDGET
-           and block_rows * COLS < b):  # nb==1: nothing left to merge
-        block_rows *= 2
     BLOCK = block_rows * COLS
     tiled = (image_shape is not None
              and b % (image_shape[0] * image_shape[1]) == 0

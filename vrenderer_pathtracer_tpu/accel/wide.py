@@ -29,10 +29,29 @@ from __future__ import annotations
 
 import numpy as np
 
-# Hard bound for the wide-traversal SMEM stack: each visit pops one entry
-# and pushes at most 8, so the stack is bounded by 7 * depth + 1.
-# collapse_bvh8 reports the actual depth; pack checks 7*depth+1 fits.
-WIDE_STACK_DEPTH = 256
+# Hard bound for the wide-traversal SMEM stack.  The DUAL traversal
+# (pallas_common, nodes_per_visit=2 — the default packet/paged path) pops
+# two entries and pushes up to 16 per iteration; a complete 8-ary tree
+# measures max occupancy 14*depth - 6 (simulated, tests/test_wide.py), so
+# the build-time guard requires stack_need(depth) = 14*depth + 8 entries
+# (the single-node bound is the classic 7*depth + 1, strictly smaller).
+# 544 int32s = ~2.1KB of SMEM scratch — noise next to the ~1MB budget.
+WIDE_STACK_DEPTH = 544
+
+
+def stack_need(max_depth: int) -> int:
+    """SMEM stack entries needed to traverse a tree of ``max_depth`` wide
+    levels with the dual-node body (worst case ~14 residual entries per
+    level; +8 headroom over the measured complete-tree peak)."""
+    return 14 * max_depth + 8
+
+
+def _check_depth(max_depth: int, kind: str) -> None:
+    if stack_need(max_depth) > WIDE_STACK_DEPTH:
+        raise ValueError(
+            f"{kind} BVH8 depth {max_depth} needs stack "
+            f"{stack_need(max_depth)} > {WIDE_STACK_DEPTH}; rebuild with a "
+            f"shallower tree")
 
 _EMPTY_BOX = (np.float32(3e38), np.float32(3e38), np.float32(3e38),
               np.float32(-3e38), np.float32(-3e38), np.float32(-3e38))
@@ -132,10 +151,7 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
                 nodes8_f[w * 8 + c, 0:6] = _EMPTY_BOX
                 nodes8_i[w, 2 * c] = 0
                 nodes8_i[w, 2 * c + 1] = -1
-    if 7 * max_depth + 1 > WIDE_STACK_DEPTH:
-        raise ValueError(
-            f"BVH8 depth {max_depth} needs stack {7 * max_depth + 1} > "
-            f"{WIDE_STACK_DEPTH}; rebuild with a shallower tree")
+    _check_depth(max_depth, "collapsed")
     return nodes8_f, nodes8_i, nodes8_ax, max_depth
 
 
@@ -340,10 +356,7 @@ def build_dense_page_py(v0, e1, e2, uvs6, slot_base=0):
         nodes8_i[w, 16] = rows_ax[w]
         nodes8_i[w, 17] = rows_lp[w]
     nodes8_f = np.concatenate(rows_f, axis=0)
-    if 7 * max_depth + 1 > WIDE_STACK_DEPTH:
-        raise ValueError(
-            f"dense BVH8 depth {max_depth} needs stack {7 * max_depth + 1} "
-            f"> {WIDE_STACK_DEPTH}; rebuild with a shallower tree")
+    _check_depth(max_depth, "dense")
     return nodes8_i, nodes8_f, pack, max_depth
 
 
@@ -359,10 +372,7 @@ def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
             v0, e1, e2, uvs6, slot_base)
     except (OSError, AttributeError):  # stale library: rebuild-free fallback
         return build_dense_page_py(v0, e1, e2, uvs6, slot_base)
-    if 7 * depth + 1 > WIDE_STACK_DEPTH:
-        raise ValueError(
-            f"dense BVH8 depth {depth} needs stack {7 * depth + 1} "
-            f"> {WIDE_STACK_DEPTH}; rebuild with a shallower tree")
+    _check_depth(depth, "dense")
     return n8i, n8f, pack, depth
 
 
