@@ -124,6 +124,46 @@ def test_grads_match_jax_value_and_grad():
             float(dfp), float(ref_g.fresnel_pow), rtol=1e-2, atol=1e-6)
 
 
+def test_odd_size_grads_match_jax_value_and_grad():
+    """Auto-padded backward megakernel: pad lanes are masked out of the
+    loss, so grads at a non-block-multiple size match jax.value_and_grad
+    of the XLA loss at the SAME size."""
+    odd = SETTINGS.replace(height=25)  # 64*25 = 1600 px: 448 pad lanes
+    scene = _benign_scene()
+    rng = np.random.default_rng(3)
+    target = jnp.asarray(
+        rng.uniform(0, 0.5, (odd.n_pixels, 3)).astype(np.float32))
+    frame = _zero_flip_frame(scene, settings=odd)
+
+    cam = Camera.default()
+    ray_o, ray_d = generate_rays(cam, odd.width, odd.height)
+    ids = pixel_ids(odd.width, odd.height)
+    inv_n = 1.0 / (odd.n_pixels * 3)
+
+    def loss_fn(p):
+        s2 = scene._replace(spheres=scene.spheres._replace(
+            color=p.color, emission=p.emission))
+        rgb, _ = render_pass(s2, odd, ray_o, ray_d, ids, frame,
+                             p.fresnel_coef, p.fresnel_pow)
+        return jnp.sum((rgb - target) ** 2) * inv_n
+
+    p0 = TrainParams.from_scene(scene, fresnel_coef=0.1, fresnel_pow=3.0)
+    ref_loss, ref_g = jax.value_and_grad(loss_fn)(p0)
+
+    loss, dcol, dem, dfc, dfp = cornell_loss_grads(
+        scene, odd, cam, target, frame,
+        jnp.float32(0.1), jnp.float32(3.0), interpret=True)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(dcol), np.asarray(ref_g.color), rtol=1e-2, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(dem), np.asarray(ref_g.emission), rtol=1e-2, atol=2e-4)
+    np.testing.assert_allclose(
+        float(dfc), float(ref_g.fresnel_coef), rtol=1e-2, atol=1e-6)
+    np.testing.assert_allclose(
+        float(dfp), float(ref_g.fresnel_pow), rtol=1e-2, atol=1e-6)
+
+
 def test_camera_grads_match_jax_value_and_grad():
     """The in-kernel geometric adjoint (origin/yaw/pitch/fov) vs
     jax.value_and_grad of the XLA loss w.r.t. the Camera pytree."""

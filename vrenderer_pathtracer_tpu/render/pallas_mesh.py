@@ -115,8 +115,6 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
     """Kernel scope (everything else falls back to the XLA wavefront)."""
     import numpy as np
 
-    if settings.n_pixels % BLOCK:
-        return False
     if settings.has_normal_map or settings.has_specular_map:
         return False
     if settings.use_brdf and not settings.has_brdf:
@@ -205,8 +203,13 @@ def _merl_index_tile(cd, d, n, t):
 
 def _kernel(cam, spheres, streams, *rest,
             settings: RenderSettings, n_spheres: int, seed: int,
-            defer: _Defer, n_slots: int, tiled: bool):
+            defer: _Defer, n_slots: int, tiled: bool, dual: bool = True):
     """One (8,128) pixel tile through the full general-scene estimator."""
+    import os
+    # Phase-cost probes (VPT_MESH_EXP): duplicate one phase of the bounce
+    # loop so device-time deltas attribute the fused kernel's budget the
+    # way VPT_TRAV_EXP does for the traversal body (docs/PERF.md).
+    EXP = os.environ.get("VPT_MESH_EXP", "")
     has_mesh = settings.has_mesh and not settings.use_example_sphere
     use_example = settings.use_example_sphere
     w = settings.width
@@ -301,6 +304,12 @@ def _kernel(cam, spheres, streams, *rest,
             best_t, (n_x, n_y, n_z), (col_r, col_g, col_b), \
                 (em_r, em_g, em_b), spec0, refl_f = sphere_running_min(
                     spheres, n_spheres, (ox, oy, oz), (dx, dy, dz), zero)
+            if EXP == "dup_sphere":  # cost probe: sphere phase twice —
+                # folded behind a runtime-never-true, unprovable predicate.
+                bt2 = sphere_running_min(
+                    spheres, n_spheres, (ox, oy, oz),
+                    (dy, dz, dx), zero)[0]
+                best_t = jnp.where(jnp.sum(bt2) == -12345.0, 0.0, best_t)
 
             is_brdf = jnp.zeros((ROWS, COLS), bool)
             tex_hit = jnp.zeros((ROWS, COLS), bool)
@@ -428,6 +437,9 @@ def _kernel(cam, spheres, streams, *rest,
                     cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
                     return refs, cnts, nodes8_ax[n], 0
 
+                # Dual-node visits (nodes_per_visit=2): same win as the
+                # standalone packet kernel — two disjoint stack entries per
+                # iteration overlap the serialized scalar<->vector chains.
                 wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
                     node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
@@ -435,6 +447,7 @@ def _kernel(cam, spheres, streams, *rest,
                     leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
                     n_nodes=nodes8_i.shape[0] // 16,
                     on_win=on_win,
+                    nodes_per_visit=2 if dual else 1,
                 )
                 mesh_won = slot_scr[:] >= 0
                 best_t = jnp.where(mesh_won, t_scr[:], best_t)
@@ -499,6 +512,15 @@ def _kernel(cam, spheres, streams, *rest,
             u_reflect = _to_unit(r0)
             u_phi = _to_unit(r2)
             u_r = _to_unit(r3)
+            if EXP == "dup_rng":  # cost probe: both threefry rounds twice
+                ra, _ = _threefry2x32_tile(
+                    k0 ^ sk1, k1, pixel_u + jnp.uint32(1),
+                    jnp.full((ROWS, COLS), st0, jnp.uint32))
+                rb, rc = _threefry2x32_tile(
+                    k0 ^ sk0, k1, pixel_u + jnp.uint32(2),
+                    jnp.full((ROWS, COLS), st1, jnp.uint32))
+                never = jnp.sum(ra ^ rb ^ rc) == jnp.uint32(0xDEADBEEF)
+                u_reflect = jnp.where(never, 0.5, u_reflect)
 
             # --- scatter core (shared with pallas_radiance) ---------------
             (hx, hy, hz), (rfx, rfy, rfz), rlen, take_reflect, \
@@ -507,6 +529,13 @@ def _kernel(cam, spheres, streams, *rest,
                     (ox, oy, oz), (dx, dy, dz), (n_x, n_y, n_z), best_t,
                     spec0, (col_r, col_g, col_b), fresnel_coef, fresnel_pow,
                     u_reflect, u_phi, u_r)
+            if EXP == "dup_scatter":  # cost probe: scatter core twice
+                probe = fresnel_diffuse_scatter(
+                    (ox, oy, oz), (dx, dy, dz), (n_y, n_z, n_x), best_t,
+                    spec0, (col_r, col_g, col_b), fresnel_coef, fresnel_pow,
+                    u_phi, u_r, u_reflect)[3]
+                never = jnp.sum(jnp.where(probe, 1.0, 0.0)) == -1.0
+                mult_r = jnp.where(never, 0.0, mult_r)
 
             # BRDF hits: cosine sample, kernel factor 1, table deferred.
             if defer.merl:
@@ -635,12 +664,13 @@ def _layout(settings: RenderSettings, defer: _Defer):
 
 @functools.partial(jax.jit,
                    static_argnames=("settings", "seed", "interpret",
-                                    "n_local_pixels"))
+                                    "n_local_pixels", "dual"))
 def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
                             frame, fresnel_coef, fresnel_pow, seed: int = 0,
                             interpret: bool = False, pixel_offset=None,
                             sample_offset=None,
-                            n_local_pixels: int | None = None):
+                            n_local_pixels: int | None = None,
+                            dual: bool = True):
     """General-scene fused forward pass; drop-in for integrator.render_pass.
 
     Returns ``(rgb_mean [N,3], depth [N])``.  Sharding hooks
@@ -677,7 +707,9 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     ])[None, :]
 
     n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
-    nb = n // BLOCK
+    # Non-BLOCK-multiple regions are padded up (see render_pass_pallas):
+    # tail lanes trace finite garbage pixels and are sliced away below.
+    nb = -(-n // BLOCK)
     # 32x32 pixel-tile blocks when the local region is whole tile rows.
     # Callers pass pixel_offset as a multiple of n (parallel/sharding.py
     # tile shards), so n % (w*32) == 0 also makes the offset 32-row aligned.
@@ -717,7 +749,7 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     out = pl.pallas_call(
         functools.partial(_kernel, settings=settings, n_spheres=n_spheres,
                           seed=seed, defer=defer, n_slots=n_slots,
-                          tiled=tiled),
+                          tiled=tiled, dual=dual),
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_spec,

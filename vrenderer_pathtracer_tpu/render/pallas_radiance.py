@@ -358,7 +358,6 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         and not settings.has_brdf
         and not (settings.has_diffuse_map or settings.has_normal_map
                  or settings.has_specular_map)
-        and settings.n_pixels % BLOCK == 0
     )
 
 
@@ -408,7 +407,13 @@ def render_pass_pallas(scene: Scene, settings: RenderSettings, camera,
     ])[None, :]  # [1, spp*bounces*4] uint32
 
     n = n_local_pixels if n_local_pixels is not None else settings.n_pixels
-    nb = n // BLOCK
+    # Pixel counts that are not a BLOCK multiple are padded up: the tail
+    # lanes compute pixel ids past the region (finite garbage — ray gen,
+    # RNG and the bounce loop are all per-lane total functions) and are
+    # sliced away below.  This erases the n%1024 kernel cliff: a 1000x700
+    # render is bitwise-equal to cropping a taller aligned render, because
+    # pixel identity (ray + RNG stream) depends only on the pixel id.
+    nb = -(-n // BLOCK)
     tile = pl.BlockSpec((ROWS, COLS), lambda i: (i, 0), memory_space=pltpu.VMEM)
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
 
@@ -425,4 +430,4 @@ def render_pass_pallas(scene: Scene, settings: RenderSettings, camera,
         interpret=interpret,
     )(cam, sph, streams)
     rgb = jnp.stack([r.reshape(-1), g.reshape(-1), b.reshape(-1)], axis=-1)
-    return rgb, depth.reshape(-1)
+    return rgb[:n], depth.reshape(-1)[:n]
