@@ -536,6 +536,26 @@ def test_exr_zip_write_read_roundtrip(tmp_path, shape):
     assert p2.stat().st_size < 0.5 * 64 * 96 * 3 * 2
 
 
+@pytest.mark.parametrize("comp", ["rle", "zips", "pxr24"])
+@pytest.mark.parametrize("shape", [(24, 33), (17, 5)])
+def test_exr_new_write_modes_roundtrip(tmp_path, comp, shape):
+    """RLE/ZIPS/PXR24 write modes (all lossless for HALF data) round-trip
+    through our own reader; golden decode-by-OpenEXR coverage lives in
+    tests/test_exr_golden.py::test_write_read_by_openexr."""
+    rng = np.random.default_rng(11)
+    img = rng.uniform(0, 4, shape + (3,)).astype(np.float32)
+    p = tmp_path / f"{comp}.exr"
+    native.write_exr(str(p), img, compression=comp)
+    back = native.load_exr(str(p))
+    np.testing.assert_allclose(back, img, rtol=2e-3, atol=1e-3)  # HALF
+    # Compressible data must actually shrink.
+    y = np.linspace(0, 1, 64)[:, None, None]
+    smooth = np.broadcast_to(y, (64, 96, 3)).astype(np.float32).copy()
+    p2 = tmp_path / f"{comp}_smooth.exr"
+    native.write_exr(str(p2), smooth, compression=comp)
+    assert p2.stat().st_size < 0.8 * 64 * 96 * 3 * 2
+
+
 def test_exr_b44_write_read_roundtrip(tmp_path):
     """B44 is lossy but bounded: smooth data round-trips within a small
     relative error, and the fixed-rate stream actually shrinks."""

@@ -83,7 +83,8 @@ def test_decode_dwa_matches_openexr(exr_tool, tmp_path, comp):
 
 
 @pytest.mark.parametrize("name,tol", [
-    ("none", 2.5e-3), ("zip", 2.5e-3), ("piz", 2.5e-3),
+    ("none", 2.5e-3), ("rle", 2.5e-3), ("zips", 2.5e-3), ("zip", 2.5e-3),
+    ("piz", 2.5e-3), ("pxr24", 2.5e-3),
 ])
 def test_write_read_by_openexr(exr_tool, tmp_path, name, tol):
     """Files from our writer load in the real library with only

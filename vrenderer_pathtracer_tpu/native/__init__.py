@@ -277,15 +277,18 @@ def load_exr(path: str) -> np.ndarray:
 def write_exr(path: str, rgb: np.ndarray, compression: str = "none") -> None:
     """Write [H,W,3] float32 as a half EXR.
 
-    ``compression`` — "none", "zip" (deflate + half-interleave filter),
-    "piz" (wavelet+Huffman, the common wild format; csrc/piz.cc),
-    "b44" (lossy fixed-rate 4x4 half blocks), "dwaa" or "dwab" (lossy
-    DCT at 32/256-line chunks; csrc/dwa.cc)."""
+    ``compression`` — "none", "rle" (run-length), "zips"/"zip" (deflate +
+    half-interleave filter, 1/16-line blocks), "piz" (wavelet+Huffman, the
+    common wild format; csrc/piz.cc), "pxr24" (per-line byte-plane deltas
+    + deflate; lossless for HALF data), "b44" (lossy fixed-rate 4x4 half
+    blocks), "dwaa" or "dwab" (lossy DCT at 32/256-line chunks;
+    csrc/dwa.cc)."""
     lib = _load()
     rgb = np.ascontiguousarray(rgb, np.float32)
     if rgb.ndim != 3 or rgb.shape[2] != 3:
         raise ValueError(f"expected [H,W,3], got {rgb.shape}")
-    codes = {"none": 0, "zip": 3, "piz": 4, "b44": 6, "dwaa": 8, "dwab": 9}
+    codes = {"none": 0, "rle": 1, "zips": 2, "zip": 3, "piz": 4,
+             "pxr24": 5, "b44": 6, "dwaa": 8, "dwab": 9}
     if compression not in codes:
         raise ValueError(f"unsupported compression {compression!r}")
     c_fp = ctypes.POINTER(ctypes.c_float)

@@ -8,7 +8,9 @@
 // set (csrc/piz.cc holds the wavelet+Huffman codec, csrc/dwa.cc the lossy
 // DCT one).  Output is planar-interleaved RGB float32 rows
 // (top-down, matching the reference's Rgba buffer order).  The writer
-// emits HALF scanlines, uncompressed or PIZ.
+// emits HALF scanlines under every scanline codec except B44A (identical
+// to B44 for RGB-without-alpha): NONE / RLE / ZIPS / ZIP / PIZ / PXR24 /
+// B44 / DWAA / DWAB.
 
 #include <zlib.h>
 
@@ -703,11 +705,72 @@ corrupt:
 // compression: 0 = NONE, 3 = ZIP, 4 = PIZ, 6 = B44 (lossy),
 // 8 = DWAA / 9 = DWAB (lossy DCT, 32/256-line chunks).
 // Returns 0 ok, 1 open, 4 unsupported.
+// EXR RLE encode (inverse of rle_decode): runs of >= 3 equal bytes become
+// (count-1, byte) with count <= 128; other bytes are literal chunks of at
+// most 127 prefixed by -count.
+static void rle_encode(const uint8_t* in, size_t n, std::vector<uint8_t>* out) {
+  out->clear();
+  size_t i = 0;
+  while (i < n) {
+    size_t run = 1;
+    while (i + run < n && in[i + run] == in[i] && run < 128) ++run;
+    if (run >= 3) {
+      out->push_back((uint8_t)(run - 1));
+      out->push_back(in[i]);
+      i += run;
+    } else {
+      size_t lit = i;
+      // Extend the literal until a run of >= 3 starts (or 127 reached).
+      while (lit < n && lit - i < 127) {
+        if (lit + 2 < n && in[lit] == in[lit + 1] && in[lit] == in[lit + 2])
+          break;
+        ++lit;
+      }
+      out->push_back((uint8_t)(int8_t)(-(int)(lit - i)));
+      out->insert(out->end(), in + i, in + lit);
+      i = lit;
+    }
+  }
+}
+
+// The ZIP/RLE pre-compression transform (inverse of exr_unfilter):
+// de-interleave bytes into two halves, then delta-encode.
+static void exr_filter(std::vector<uint8_t>& data) {
+  std::vector<uint8_t> tmp(data.size());
+  const size_t half = (data.size() + 1) / 2;
+  for (size_t i = 0; i < data.size(); ++i)
+    tmp[(i % 2) ? half + i / 2 : i / 2] = data[i];
+  for (size_t i = tmp.size(); i-- > 1;)
+    tmp[i] = (uint8_t)(tmp[i] - tmp[i - 1] + 128);
+  data.swap(tmp);
+}
+
+// PXR24 pre-compression (inverse of pxr24_reconstruct, HALF channels):
+// per line, per channel, per-pixel diffs of the 16-bit values split into
+// high/low byte planes; the caller deflates the plane stream.
+static void pxr24_planes_rgb(const uint16_t* rows, int w, int nlines,
+                             std::vector<uint8_t>* planes) {
+  planes->resize((size_t)nlines * 3 * 2 * w);
+  uint8_t* dst = planes->data();
+  for (int line = 0; line < nlines; ++line) {
+    for (int c = 0; c < 3; ++c) {
+      const uint16_t* p = rows + ((size_t)line * 3 + c) * w;
+      uint16_t prev = 0;
+      for (int x = 0; x < w; ++x) {
+        uint16_t diff = (uint16_t)(p[x] - prev);
+        prev = p[x];
+        dst[x] = (uint8_t)(diff >> 8);
+        dst[w + x] = (uint8_t)(diff & 0xFF);
+      }
+      dst += 2 * (size_t)w;
+    }
+  }
+}
+
 int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    int compression) {
-  if (compression != 0 && compression != 3 && compression != 4 &&
-      compression != 6 && compression != 8 && compression != 9)
-    return 4;
+  if (compression < 0 || compression > 9 || compression == 7)
+    return 4;  // B44A adds nothing over B44 for RGB-without-alpha
   FILE* f = std::fopen(path, "wb");
   if (!f) return 1;
   auto put = [&](const void* p, size_t n) { std::fwrite(p, 1, n, f); };
@@ -755,7 +818,7 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
           ? 256
           : (compression == 4 || compression == 6 || compression == 8)
                 ? 32
-                : (compression == 3 ? 16 : 1);
+                : ((compression == 3 || compression == 5) ? 16 : 1);
   const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
 
   // Prepare per-block payloads first (offset table precedes the data).
@@ -801,20 +864,38 @@ int vt_write_exr_c(const char* path, const float* rgb, int w, int h,
                    (const uint8_t*)rows.data() + want);
       }
       blocks[b].swap(out);
-    } else if (compression == 3) {  // ZIP: filter + deflate
-      std::vector<uint8_t> filt((const uint8_t*)rows.data(),
-                                (const uint8_t*)rows.data() + want);
-      // The inverse of exr_unfilter: de-interleave halves, delta-encode.
-      std::vector<uint8_t> tmp(filt.size());
-      const size_t half = (filt.size() + 1) / 2;
-      for (size_t i = 0; i < filt.size(); ++i)
-        tmp[(i % 2) ? half + i / 2 : i / 2] = filt[i];
-      for (size_t i = tmp.size(); i-- > 1;)
-        tmp[i] = (uint8_t)(tmp[i] - tmp[i - 1] + 128);
+    } else if (compression == 2 || compression == 3) {  // ZIPS/ZIP
+      std::vector<uint8_t> tmp((const uint8_t*)rows.data(),
+                               (const uint8_t*)rows.data() + want);
+      exr_filter(tmp);
       uLongf dst_len = compressBound((uLong)tmp.size());
       std::vector<uint8_t> out(dst_len);
       if (compress(out.data(), &dst_len, tmp.data(), (uLong)tmp.size()) !=
               Z_OK ||
+          dst_len >= want) {
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      } else {
+        out.resize(dst_len);
+      }
+      blocks[b].swap(out);
+    } else if (compression == 1) {  // RLE: filter + run-length
+      std::vector<uint8_t> tmp((const uint8_t*)rows.data(),
+                               (const uint8_t*)rows.data() + want);
+      exr_filter(tmp);
+      std::vector<uint8_t> out;
+      rle_encode(tmp.data(), tmp.size(), &out);
+      if (out.size() >= want)
+        out.assign((const uint8_t*)rows.data(),
+                   (const uint8_t*)rows.data() + want);
+      blocks[b].swap(out);
+    } else if (compression == 5) {  // PXR24: byte planes + deflate
+      std::vector<uint8_t> planes;
+      pxr24_planes_rgb(rows.data(), w, nlines, &planes);
+      uLongf dst_len = compressBound((uLong)planes.size());
+      std::vector<uint8_t> out(dst_len);
+      if (compress(out.data(), &dst_len, planes.data(),
+                   (uLong)planes.size()) != Z_OK ||
           dst_len >= want) {
         out.assign((const uint8_t*)rows.data(),
                    (const uint8_t*)rows.data() + want);
