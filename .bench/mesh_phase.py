@@ -70,7 +70,7 @@ def main():
 
     dev_us = measure(lambda cam, f: run(cam, f),
                      [(cams[i], 2 + i) for i in range(6)],
-                     "kernel", verbose=True)
+                     "mesh_pallas", verbose=True)
     rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
     print(f"RESULT exp={exp} wall_ms={wall_ms:.2f} dev_ms={dev_us/1e3:.2f} "
           f"mrays_wall={rays / wall_ms / 1e3:.1f}")

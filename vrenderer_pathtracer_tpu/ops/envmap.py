@@ -17,6 +17,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from vrenderer_pathtracer_tpu.ops.texture import gather_rows
+
 ENV_SCALE = 2.0  # reference multiplies HDR radiance by 2 (PathTracer.cu:645)
 
 
@@ -35,8 +37,7 @@ def sample_env_nearest(hdr, ray_d):
     x = (u * width).astype(jnp.int32)
     y = (v * height).astype(jnp.int32)
     addr = jnp.clip(x + y * width, 0, width * height - 1)
-    flat = hdr.reshape(-1, 3)
-    return flat[addr] * ENV_SCALE
+    return gather_rows(hdr.reshape(-1, 3), addr) * ENV_SCALE
 
 
 def sample_env_bilinear(hdr, ray_d):
@@ -54,10 +55,10 @@ def sample_env_bilinear(hdr, ray_d):
     y1 = jnp.clip(y0 + 1, 0, height - 1)
     y0 = jnp.clip(y0, 0, height - 1)
     flat = hdr.reshape(-1, 3)
-    c00 = flat[x0 + y0 * width]
-    c10 = flat[x1 + y0 * width]
-    c01 = flat[x0 + y1 * width]
-    c11 = flat[x1 + y1 * width]
+    c00 = gather_rows(flat, x0 + y0 * width)
+    c10 = gather_rows(flat, x1 + y0 * width)
+    c01 = gather_rows(flat, x0 + y1 * width)
+    c11 = gather_rows(flat, x1 + y1 * width)
     top = c00 * (1 - wx) + c10 * wx
     bot = c01 * (1 - wx) + c11 * wx
     return (top * (1 - wy) + bot * wy) * ENV_SCALE

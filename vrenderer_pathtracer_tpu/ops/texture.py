@@ -13,7 +13,33 @@ not here.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+# Pad row gathers to this many lanes: TPU gathers are row-granular with a
+# hard efficiency cliff (rows >= 64 lanes move at ~110 GB/s, narrow rows at
+# ~5 GB/s — measured, docs/PERF.md round 3).  The same trick as the mesh
+# attribute gather in accel/traverse.py shade_mesh_hit, applied to every
+# small-table fetch (textures, env map, MERL): the fused mesh megakernel's
+# deferred epilogue was ~43% of its pass, nearly all narrow-row gathers.
+_WIDE_LANES = 64
+# Padding multiplies table memory by 64/C; skip it for big tables where the
+# padded copy would not amortize (> ~128 MB padded).
+_WIDE_MAX_ROWS = 512 * 1024
+
+
+def gather_rows(flat, addr):
+    """``flat [N,C]`` row gather at ``addr [B]`` on the fast side of the
+    row-width cliff.  Barriers on BOTH sides keep XLA from re-narrowing the
+    gather (input: pad commutes out of gather; output: consumer slices push
+    through) — observed 9x on 2M-lane fetches."""
+    n, c = flat.shape
+    if c >= _WIDE_LANES or n > _WIDE_MAX_ROWS:
+        return flat[addr]
+    wide = jnp.pad(flat, ((0, 0), (0, _WIDE_LANES - c)))
+    wide = jax.lax.optimization_barrier(wide)
+    rows = jax.lax.optimization_barrier(wide[addr])
+    return rows[:, :c]
 
 
 def fetch_nearest(tex, u, v):
@@ -22,7 +48,7 @@ def fetch_nearest(tex, u, v):
     x = (u * width).astype(jnp.int32)
     y = (v * height).astype(jnp.int32)
     addr = jnp.clip(x + y * width, 0, width * height - 1)
-    return tex.reshape(-1, 3)[addr]
+    return gather_rows(tex.reshape(-1, 3), addr)
 
 
 def fetch_bilinear(tex, u, v):
@@ -39,10 +65,10 @@ def fetch_bilinear(tex, u, v):
     y0c = jnp.clip(y0, 0, height - 1)
     y1c = jnp.clip(y0 + 1, 0, height - 1)
     flat = tex.reshape(-1, 3)
-    c00 = flat[x0c + y0c * width]
-    c10 = flat[x1c + y0c * width]
-    c01 = flat[x0c + y1c * width]
-    c11 = flat[x1c + y1c * width]
+    c00 = gather_rows(flat, x0c + y0c * width)
+    c10 = gather_rows(flat, x1c + y0c * width)
+    c01 = gather_rows(flat, x0c + y1c * width)
+    c11 = gather_rows(flat, x1c + y1c * width)
     top = c00 * (1 - wx) + c10 * wx
     bot = c01 * (1 - wx) + c11 * wx
     return top * (1 - wy) + bot * wy

@@ -234,9 +234,18 @@ def radiance(
     depth = jnp.ones((n_rays,), jnp.float32)
     alive = jnp.ones((n_rays,), bool)
     killed = jnp.zeros((n_rays,), bool)  # Cornell-mode miss kills the path
+    # Env-fetch collapse: a path misses at most once, so the per-bounce
+    # HDRI gathers fold into ONE fetch after the loop — (weight-at-miss,
+    # dir-at-miss) ride the carry.  Gathers are row-transaction bound
+    # (~2.4ns/row at any width), so this removes (bounces-1)/bounces of
+    # the env-gather cost with identical estimator values.
+    use_env = (not settings.use_cornell_box and settings.has_hdr
+               and scene.hdr is not None)
+    env_w = jnp.zeros((n_rays, 3), jnp.float32)
+    env_dir = ray_d
 
     def bounce_step(carry, *, bounce):
-        ray_o, ray_d, mask, accum, depth, alive, killed = carry
+        ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir = carry
         hd = intersect_scene(
             scene, settings, ray_o, ray_d,
             alive=None if bounce == 0 else alive,
@@ -247,11 +256,9 @@ def radiance(
 
         if settings.use_cornell_box:
             killed = killed | miss
-        elif settings.has_hdr and scene.hdr is not None:
-            env_fetch = (sample_env_bilinear if settings.texture_filter == "bilinear"
-                         else sample_env_nearest)
-            env = env_fetch(scene.hdr, ray_d)
-            accum = accum + jnp.where(miss[:, None], mask * env, 0.0)
+        elif use_env:
+            env_w = env_w + jnp.where(miss[:, None], mask, 0.0)
+            env_dir = jnp.where(miss[:, None], ray_d, env_dir)
 
         if bounce == 0:
             d0 = jnp.linalg.norm(ray_o - hd.point, axis=-1) / settings.depth_scale
@@ -288,9 +295,10 @@ def radiance(
         ray_o = jnp.where(lh, hd.point + ORIGIN_OFFSET * hd.normal, ray_o)
         ray_d = jnp.where(lh, new_dir, ray_d)
         mask = jnp.where(lh, mask * mult, mask)
-        return ray_o, ray_d, mask, accum, depth, live_hit, killed
+        return (ray_o, ray_d, mask, accum, depth, live_hit, killed,
+                env_w, env_dir)
 
-    carry = (ray_o, ray_d, mask, accum, depth, alive, killed)
+    carry = (ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir)
     for bounce in range(settings.bounces):
         step = functools.partial(bounce_step, bounce=bounce)
         if settings.remat_bounces:
@@ -299,8 +307,13 @@ def radiance(
             # (jax.checkpoint — the FLOPs-for-HBM trade, SURVEY §7).
             step = jax.checkpoint(step)
         carry = step(carry)
-    ray_o, ray_d, mask, accum, depth, alive, killed = carry
+    ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir = carry
 
+    if use_env:
+        env_fetch = (sample_env_bilinear
+                     if settings.texture_filter == "bilinear"
+                     else sample_env_nearest)
+        accum = accum + env_w * env_fetch(scene.hdr, env_dir)
     if settings.use_cornell_box:
         accum = jnp.where(killed[:, None], 0.0, accum)
         depth = jnp.where(killed, 0.0, depth)

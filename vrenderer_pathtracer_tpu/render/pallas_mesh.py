@@ -790,14 +790,27 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     total = jnp.zeros((nb * BLOCK, 3), jnp.float32)
     for si in range(spp):
         pd = jnp.ones((nb * BLOCK, 3), jnp.float32)
+        env_w = env_dir = None
         for bi in range(bounces):
             if defer.emit:
                 a = jnp.stack(field(("A", si, bi), 3), axis=-1)
                 total = total + a * pd
             if defer.env:
+                # A path misses at most once, so E is nonzero at at most
+                # one bounce: accumulate (E*PD, dir-at-miss) and fetch the
+                # env map ONCE per sample below.  At 2M lanes a gather
+                # costs ~2.4ns/row regardless of width (row-transaction
+                # bound), so bounce-collapsing is the only lever — this
+                # removes (bounces-1)/bounces of the env gathers (~20% of
+                # the whole pass at 2spp x 4 bounces, docs/PERF.md).
                 e = jnp.stack(field(("E", si, bi), 3), axis=-1)
                 dirs = jnp.stack(field(("dir", si, bi), 3), axis=-1)
-                total = total + e * pd * env_fetch(scene.hdr, dirs)
+                if env_w is None:
+                    env_w, env_dir = e * pd, dirs
+                else:
+                    env_w = env_w + e * pd
+                    miss_here = jnp.any(e > 0.0, axis=-1, keepdims=True)
+                    env_dir = jnp.where(miss_here, dirs, env_dir)
             d_fac = jnp.ones((nb * BLOCK, 3), jnp.float32)
             if defer.tex:
                 uu, vv = field(("uv", si, bi), 2)
@@ -812,6 +825,8 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
                 fac = 24.0 * jnp.maximum(val, 0.0)
                 d_fac = d_fac * jnp.where(mi[:, None] >= 0.0, fac, 1.0)
             pd = pd * d_fac
+        if defer.env:
+            total = total + env_w * env_fetch(scene.hdr, env_dir)
     total = total / spp
     if not defer.emit:
         r, g, bch = field(("rgb",), 3)
