@@ -108,22 +108,88 @@ def test_bvh8_collapse_invariants():
         for c in range(8):
             ref, cnt = n8i[wnode, 2 * c], n8i[wnode, 2 * c + 1]
             if cnt > 0:
-                # Leaf refs index the 8-aligned tri_pack; each row stores
-                # its original contiguous slot at column 9.  The leaf's
-                # rows must be the contiguous run [start, start+cnt) and
-                # its padding rows degenerate.
+                # Leaf refs index the sparse 8-aligned pack row space in
+                # EITHER layout; in the lane-dense one block l = ref//8
+                # lives at rows (l//8)*8..+8, lanes 16*(l%8)..+16
+                # (accel/wide.py lane_dense_pack16).  Each row stores its
+                # original contiguous slot at column 9; the leaf's rows
+                # must be the run [start, start+cnt), padding degenerate.
                 assert ref % 8 == 0
-                start = int(pack[ref, 9])
+                if pack.shape[-1] == 128:  # lane-dense
+                    l = ref // 8
+                    blk = pack[(l // 8) * 8:(l // 8) * 8 + 8,
+                               16 * (l % 8):16 * (l % 8) + 16]
+                else:
+                    blk = pack[ref:ref + 8, :]
+                start = int(blk[0, 9])
                 for j in range(cnt):
-                    assert int(pack[ref + j, 9]) == start + j
-                assert not np.any(pack[ref + cnt:ref + 8, 0:9])
+                    assert int(blk[j, 9]) == start + j
+                assert not np.any(blk[cnt:8, 0:9])
                 wide_leaves.append((start, cnt))
             elif cnt == 0:
                 stack.append(ref)
             if cnt >= 0:
-                keys.append(n8f[wnode * 8 + c, ax] + n8f[wnode * 8 + c, 3 + ax])
+                if n8f.shape[-1] == 128:  # lane-dense boxes
+                    box = n8f[(wnode // 16) * 8 + c,
+                              8 * (wnode % 16):8 * (wnode % 16) + 8]
+                else:
+                    box = n8f[wnode * 8 + c, :]
+                keys.append(box[ax] + box[3 + ax])
         assert all(keys[i] <= keys[i + 1] + 1e-5 for i in range(len(keys) - 1))
     assert sorted(bin_leaves) == sorted(wide_leaves)
+
+
+def test_dense_layout_matches_sparse(monkeypatch):
+    """Forcing the lane-dense layout (as large meshes get) must be
+    bitwise-identical to the sparse layout on the same rays."""
+    import vrenderer_pathtracer_tpu.accel.pallas_traverse as pt
+
+    host = _soup(200, seed=5)
+    mesh_s = pack_mesh(host)
+    monkeypatch.setattr(pt, "SPARSE_PHYS_BUDGET", 0)
+    mesh_d = pack_mesh(host)
+    assert mesh_s.nodes8_f.shape[-1] == 8, "small mesh should pack sparse"
+    assert mesh_d.nodes8_f.shape[-1] == 128, "forced dense"
+    o1, d1 = _rays(512, seed=31)
+    o2, d2 = _aimed_rays(host, 512, seed=32)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    slot_s, t_s = traverse_packets(mesh_s, o, d, t_max, interpret=True)
+    slot_d, t_d = traverse_packets(mesh_d, o, d, t_max, interpret=True)
+    np.testing.assert_array_equal(np.asarray(slot_s), np.asarray(slot_d))
+    np.testing.assert_array_equal(np.asarray(t_s), np.asarray(t_d))
+
+
+def test_woop_leaf_test_matches_mt():
+    """traverse_packets(leaf_test="woop") on a Woop-layout pack finds the
+    same hits as Möller–Trumbore (BASELINE.json experiment; unit-triangle
+    affine form vs the reference's M-T).  Slot agreement is bounded, not
+    exact: the two tests round edge-grazing hits differently."""
+    from vrenderer_pathtracer_tpu.accel.wide import (
+        lane_dense_pack16, lane_undense_pack16, woop_pack_from_mt)
+
+    host = _soup(200, seed=3)
+    mesh = pack_mesh(host)
+    pack = np.asarray(mesh.tri_pack)
+    if pack.shape[-1] == 128:  # lane-dense: undense, convert, re-dense
+        woop = lane_dense_pack16(woop_pack_from_mt(lane_undense_pack16(pack)))
+    else:
+        woop = woop_pack_from_mt(pack)
+    mesh_w = mesh._replace(tri_pack=jnp.asarray(woop))
+    o1, d1 = _rays(512, seed=21)
+    o2, d2 = _aimed_rays(host, 512, seed=22)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    slot_m, t_m = traverse_packets(mesh, o, d, t_max, interpret=True)
+    slot_w, t_w = traverse_packets(mesh_w, o, d, t_max, interpret=True,
+                                   leaf_test="woop")
+    agree = np.asarray(slot_m) == np.asarray(slot_w)
+    assert agree.mean() > 0.99, f"{(~agree).sum()} slot disagreements"
+    both = agree & (np.asarray(slot_m) >= 0)
+    np.testing.assert_allclose(np.asarray(t_w)[both], np.asarray(t_m)[both],
+                               rtol=2e-3, atol=2e-4)
 
 
 def test_packets_respect_t_max():

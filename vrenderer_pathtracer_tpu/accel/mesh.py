@@ -53,14 +53,16 @@ def pack_mesh(mesh: HostMesh, pad_to: int = 128, paged: bool | None = None) -> M
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
             VMEM_BUDGET_BYTES, fits_vmem)
 
-        # Rough single-level footprint: nodes ~ tris/3 (x64B) + 3x12B/tri.
+        # Rough single-level footprint with the LANE-DENSE layout (the
+        # worst-case-accepted layout): leaf pack 64B/tri (x~1.3
+        # spatial-split duplication) + boxes ~20B/tri.
         # This pre-estimate only avoids building a doomed giant SBVH; the
         # BINDING decision uses fits_vmem on the ACTUAL packed mesh, the
         # same predicate settings_for_scene applies later — an optimistic
         # estimate here used to let mid-size meshes pack single-level only
         # to be bounced to the ~300x slower XLA lockstep traversal at
         # scene-resolution time instead of going paged.
-        est = 64 * (len(mesh.tris) // 3 + 1) + 3 * 16 * int(1.3 * len(mesh.tris))
+        est = int(1.3 * len(mesh.tris)) * (64 + 20)
         if est < VMEM_BUDGET_BYTES:
             built = pack_from_bvh(mesh, build_sbvh(mesh.verts, mesh.tris),
                                   pad_to)
@@ -94,18 +96,32 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
         out[:r] = a
         return out
 
+    from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+        SPARSE_PHYS_BUDGET)
     from vrenderer_pathtracer_tpu.accel.wide import (
-        build_leaf_packs, collapse_bvh8)
+        build_leaf_packs, collapse_bvh8, lane_dense_boxes, lane_dense_pack16)
 
     # 8-wide collapse + aligned leaf-block packs for the wide kernel's
     # VECTOR phases (accel/wide.py).  nodes8_i leaf refs index the pack;
     # the original contiguous arrays (and nodes_i) keep the XLA/binary
-    # layout, and winners record the original slot.
+    # layout, and winners record the original slot.  Layout choice: narrow
+    # VMEM arrays pad their lanes to 128 (16x boxes / 8x packs), so small
+    # meshes keep the sparse layout (fast direct block loads) and larger
+    # ones switch to LANE-DENSE (16 nodes / 8 leaf blocks per (8,128)
+    # tile, extracted with dynamic lane rotates — ~+10-20% visit cost for
+    # an 8x higher single-level ceiling; accessors dispatch on lane width
+    # in pallas_common.make_node_boxes_fn/make_leaf_blk_fn).
     n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
     n8i, tri_pack, tri_aux_pack = build_leaf_packs(
         n8i, v0, v1 - v0, v2 - v0,
         corners(mesh.uvs).reshape(-1, 6),
         corners(mesh.tangents).reshape(-1, 9))
+    sparse_phys = (n8f.size * 64
+                   + (tri_pack.size + tri_aux_pack.size) * 32)
+    if sparse_phys > SPARSE_PHYS_BUDGET:
+        n8f = lane_dense_boxes(n8f)
+        tri_pack = lane_dense_pack16(tri_pack)
+        tri_aux_pack = lane_dense_pack16(tri_aux_pack)
 
     return MeshData(
         nodes_f=jnp.asarray(bvh.nodes_f),

@@ -15,6 +15,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from vrenderer_pathtracer_tpu.accel.mesh import MAX_LEAF, STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.traverse import TRI_EPS
@@ -153,7 +154,8 @@ def make_leaf_fn(o, d, t_out, slot_out, tri, slot_base, on_hit=None):
     return leaf
 
 
-def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None):
+def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None,
+                      test_fn=None):
     """Vector leaf resolver for the 8-aligned ``tri_pack`` layout.
 
     ``leaf_blk(ref)`` returns rows [ref, ref+8) of the pack as ONE (8,16)
@@ -172,13 +174,62 @@ def make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win=None):
     leaf's (8,16) block, and the (8,C) barycentrics; the fused radiance
     kernel uses it to capture shading attributes at win time.
     """
-    test = make_pack_test_fn(o, d, t_out, slot_out, on_win)
+    test = test_fn or make_pack_test_fn(o, d, t_out, slot_out, on_win)
 
     def leaf(ref, count):
         del count  # all 8 rows tested; padding rows are degenerate
         test(leaf_blk(ref), ref)
 
     return leaf
+
+
+def make_pack_test_fn_woop(o, d, t_out, slot_out):
+    """Woop unit-triangle test over a (8, >=16) WOOP-layout block.
+
+    Experiment named in BASELINE.json (the reference uses Möller–Trumbore,
+    ``/root/reference/cuda/include/RayIntersection.cuh:45-47``): rows store
+    the affine world->unit-triangle transform — A^{-1} (9 floats, cols
+    0:9, row-major) and -A^{-1}·v0 (cols 9:12) with A = [e1 e2 n] — plus
+    the original slot at col 12.  Then o' = A^{-1}o + b, d' = A^{-1}d,
+    t = -o'_z/d'_z, u = o'_x + t d'_x, v = o'_y + t d'_y: ~39 VPU ops per
+    group vs Möller–Trumbore's ~50.  Zero padding rows give d'_z = 0 ->
+    t = NaN -> every compare false (never hit).
+    """
+    n_groups = o[0].shape[0]
+
+    def test(blk, ref):
+        m = [[blk[:, 3 * r + c:3 * r + c + 1] for c in range(3)]
+             for r in range(3)]
+        bvec = [blk[:, 9 + k:10 + k] for k in range(3)]
+        slotc = blk[:, 12:13]
+        shape = (8, t_out.shape[1])
+        rows = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        for g in range(n_groups):
+            og = [jnp.broadcast_to(o[k][g:g + 1, :], shape) for k in range(3)]
+            dg = [jnp.broadcast_to(d[k][g:g + 1, :], shape) for k in range(3)]
+            op = [m[r][0] * og[0] + m[r][1] * og[1] + m[r][2] * og[2]
+                  + bvec[r] for r in range(3)]
+            dp = [m[r][0] * dg[0] + m[r][1] * dg[1] + m[r][2] * dg[2]
+                  for r in range(3)]
+            t = -op[2] * (1.0 / dp[2])
+            u = op[0] + t * dp[0]
+            v = op[1] + t * dp[1]
+            best_g = t_out[g:g + 1, :]
+            ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                  & (t > TRI_EPS) & (t < jnp.broadcast_to(best_g, shape)))
+            tm = jnp.where(ok, t, jnp.inf)
+            t_min = jnp.min(tm, axis=0, keepdims=True)
+            win = t_min < best_g
+            w_row = jnp.min(jnp.where(tm <= t_min, rows, 8),
+                            axis=0, keepdims=True)
+            onehot = rows == w_row
+            s_win = jnp.sum(jnp.where(onehot, jnp.broadcast_to(slotc, shape),
+                                      0.0), axis=0, keepdims=True)
+            t_out[g:g + 1, :] = jnp.where(win, t_min, best_g)
+            slot_out[g:g + 1, :] = jnp.where(
+                win, s_win.astype(jnp.int32), slot_out[g:g + 1, :])
+
+    return test
 
 
 def make_pack_test_fn(o, d, t_out, slot_out, on_win=None):
@@ -242,10 +293,51 @@ def make_pack_test_fn(o, d, t_out, slot_out, on_win=None):
     return test
 
 
+def make_node_boxes_fn(nodes8_f):
+    """Node-box accessor, dispatching on the box layout (STATIC, from the
+    lane width).  Sparse [N*8,8]: direct (8,8) block load — fastest, but
+    VMEM pads the 8 lanes to 128 (16x waste).  LANE-DENSE [.,128]
+    (accel/wide.py lane_dense_boxes): 16 nodes share one (8,128) tile;
+    node n's block is brought to lanes [0,8) with one dynamic lane rotate
+    — zero waste, ~+10-20% visit cost, raising the mesh ceiling 8x.
+    pack_from_bvh picks the layout per mesh by VMEM footprint."""
+    if nodes8_f.shape[-1] != 128:
+        return lambda n: nodes8_f[pl.ds(pl.multiple_of(n * 8, 8), 8), :]
+
+    def node_boxes(n):
+        tile = nodes8_f[pl.ds(pl.multiple_of((n // 16) * 8, 8), 8), :]
+        return pltpu.roll(tile, (128 - 8 * lax.rem(n, 16)) & 127, 1)
+
+    return node_boxes
+
+
+def make_leaf_blk_fn(tri_pack):
+    """Leaf-block accessor, dispatching on the pack layout (see
+    :func:`make_node_boxes_fn`).  Sparse [T8,16]: direct (8,16) slice.
+    LANE-DENSE (accel/wide.py lane_dense_pack16): 8 leaf blocks share one
+    (8,128) tile; block l = ref//8 lives at rows (l//8)*8..+8, lanes
+    16*(l%8)..+16 — dynamic sublane slice + dynamic lane rotate."""
+    if tri_pack.shape[-1] != 128:
+        return lambda ref: tri_pack[pl.ds(ref, 8), :]
+
+    def leaf_blk(ref):
+        l = ref // 8
+        tile = tri_pack[pl.ds(pl.multiple_of((l // 8) * 8, 8), 8), :]
+        return pltpu.roll(tile, (128 - 16 * lax.rem(l, 8)) & 127, 1)[:, :16]
+
+    return leaf_blk
+
+
+# Back-compat aliases (the accessors dispatch on layout themselves).
+make_dense_node_boxes = make_node_boxes_fn
+make_dense_leaf_blk = make_leaf_blk_fn
+
+
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
                          node_boxes, node_meta, n_nodes,
                          leaf_blk=None, dense=False, dense_pack=None,
-                         on_win=None, visit_acc=None, nodes_per_visit=1):
+                         on_win=None, visit_acc=None, nodes_per_visit=1,
+                         leaf_test="mt"):
     """8-wide packet traversal (accel/wide.py layout) for one ray block.
 
     Per visit, ALL EIGHT child boxes arrive in one aligned (8,8) VECTOR
@@ -301,7 +393,10 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     if dense:
         test = make_pack_test_fn(o, d, t_out, slot_out, on_win)
     else:
-        leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win)
+        tf = (make_pack_test_fn_woop(o, d, t_out, slot_out)
+              if leaf_test == "woop" else None)
+        leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win,
+                                 test_fn=tf)
     dneg = tuple(d[k][0, 0] < 0.0 for k in range(3))
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, 1), 0)
     w_lo = jnp.where(rows < 4, jnp.left_shift(1, 8 * rows), 0)

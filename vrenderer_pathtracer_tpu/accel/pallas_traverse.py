@@ -37,6 +37,8 @@ import numpy as np
 
 from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
+    make_dense_leaf_blk,
+    make_dense_node_boxes,
     packet_traverse,
     root_exit_clamp_wide,
     wide_packet_traverse,
@@ -48,14 +50,35 @@ LANE_ROWS = 8
 LANE_COLS = 128
 BLOCK = LANE_ROWS * LANE_COLS  # rays per program: one f32 VPU tile
 
-# VMEM residency estimate: nodes 64B each, traversal tris 3x12B rows.
-VMEM_BUDGET_BYTES = 12 * 1024 * 1024
+# PHYSICAL VMEM budget for the wide kernel's scene arrays, leaving room
+# for ray tiles, scratch and the surrounding program.  Narrow VMEM arrays
+# pad their lane dim to 128, so the sparse layout's physical footprint is
+# 8-16x its payload; pack_from_bvh keeps the (faster) sparse layout while
+# it fits SPARSE_PHYS_BUDGET and switches to the lane-dense layout beyond.
+# Probed on one v5e (.bench/dense_ceiling.py): a 27.4MB dense scene
+# compiles and runs, 31.9MB fails remote-compile — the budget keeps ~4MB
+# of margin for the ray tiles and the surrounding program.
+VMEM_BUDGET_BYTES = 28 * 1024 * 1024
+SPARSE_PHYS_BUDGET = 24 * 1024 * 1024
+
+
+def wide_vmem_bytes(mesh: MeshData, with_aux: bool = False) -> int:
+    """Physical VMEM bytes of the wide-kernel scene arrays (layout-aware:
+    sparse boxes pad 8->128 lanes (16x), sparse packs 16->128 (8x))."""
+    dense = mesh.nodes8_f.shape[-1] == 128
+    boxes = mesh.nodes8_f.size * (4 if dense else 64)
+    pack = mesh.tri_pack.size * (4 if dense else 32)
+    if with_aux:
+        pack += mesh.tri_aux_pack.size * (4 if dense else 32)
+    return int(boxes) + int(pack)
 
 
 def fits_vmem(mesh: MeshData) -> bool:
-    n_nodes = mesh.nodes_f.shape[0]
-    n_tris = mesh.tri_v0.shape[0]
-    return 64 * n_nodes + 3 * 16 * n_tris < VMEM_BUDGET_BYTES
+    if mesh.nodes8_f is None:
+        n_nodes = mesh.nodes_f.shape[0]
+        n_tris = mesh.tri_v0.shape[0]
+        return 64 * n_nodes + 3 * 16 * n_tris < VMEM_BUDGET_BYTES
+    return wide_vmem_bytes(mesh) < VMEM_BUDGET_BYTES
 
 
 def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
@@ -96,11 +119,8 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
 
 def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
                  ox, oy, oz, dx, dy, dz, tmax_ref,
-                 slot_out, t_out, stack, dual=False):
+                 slot_out, t_out, stack, dual=False, leaf_test="mt"):
     """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
-    from vrenderer_pathtracer_tpu.accel.pallas_common import (
-        wide_packet_traverse_dual)
-
     slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
@@ -111,13 +131,15 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
         cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
         return refs, cnts, nodes8_ax[n], 0
 
-    (wide_packet_traverse_dual if dual else wide_packet_traverse)(
+    wide_packet_traverse(
         o, d,
         t_out, slot_out, stack,
-        node_boxes=lambda n: nodes8_f[pl.ds(pl.multiple_of(n * 8, 8), 8), :],
+        node_boxes=make_dense_node_boxes(nodes8_f),
         node_meta=node_meta,
-        leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
+        leaf_blk=make_dense_leaf_blk(tri_pack),
         n_nodes=nodes8_i.shape[0] // 16,
+        nodes_per_visit=2 if dual else 1,
+        leaf_test=leaf_test,
     )
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
@@ -146,9 +168,10 @@ def _tile_remap(x, h: int, w: int, inverse: bool = False):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "image_shape", "block_rows",
-                                    "dual"))
+                                    "dual", "leaf_test"))
 def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
-                     image_shape=None, block_rows=LANE_ROWS, dual=True):
+                     image_shape=None, block_rows=LANE_ROWS, dual=True,
+                     leaf_test="mt"):
     """Pallas packet traversal over [B] rays (B padded to a block multiple).
 
     Returns ``(slot [B] int32, t [B] f32)`` matching accel.traverse.traverse.
@@ -197,7 +220,8 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     # lanes (a [M,12] window would balloon ~10x past the ~1MB SMEM budget).
     wide = mesh.nodes8_f is not None
     if wide:
-        kernel = functools.partial(_kernel_wide, dual=dual)
+        kernel = functools.partial(_kernel_wide, dual=dual,
+                                   leaf_test=leaf_test)
         scene_args = (mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
                       mesh.nodes8_ax.reshape(-1), mesh.tri_pack)
         # Boxes [N*8,8] and triangle leaf blocks [T8,16] in VMEM (both

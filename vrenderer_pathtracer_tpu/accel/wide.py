@@ -376,6 +376,69 @@ def build_dense_page(v0, e1, e2, uvs6, slot_base=0):
     return n8i, n8f, pack, depth
 
 
+def lane_undense_pack16(dense: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`lane_dense_pack16`: [G*8,128] -> [G*64,16]."""
+    g = dense.shape[0] // 8
+    return dense.reshape(g, 8, 8, 16).transpose(0, 2, 1, 3).reshape(-1, 16)
+
+
+def woop_pack_from_mt(tri_pack16: np.ndarray) -> np.ndarray:
+    """Convert a [T8,16] Möller–Trumbore leaf pack (pre-densified layout)
+    to the Woop unit-triangle layout: A^{-1} rows (cols 0:9, A = [e1 e2 n],
+    n = e1 x e2), -A^{-1} v0 (cols 9:12), slot (col 12).  Degenerate
+    padding rows keep all-zero transforms (d'_z = 0 -> NaN t -> no hit).
+    Experiment plumbing for traverse_packets(leaf_test="woop")."""
+    out = np.zeros_like(tri_pack16)
+    v0 = tri_pack16[:, 0:3]
+    e1 = tri_pack16[:, 3:6]
+    e2 = tri_pack16[:, 6:9]
+    n = np.cross(e1, e2)
+    a = np.stack([e1, e2, n], axis=2)          # [R,3,3] columns e1,e2,n
+    det = np.linalg.det(a)
+    good = np.abs(det) > 1e-30
+    inv = np.zeros_like(a)
+    if good.any():
+        inv[good] = np.linalg.inv(a[good])
+    out[:, 0:9] = inv.reshape(-1, 9)
+    out[:, 9:12] = -np.einsum("rij,rj->ri", inv, v0)
+    out[:, 12] = tri_pack16[:, 9]
+    return out
+
+
+def lane_dense_boxes(nodes8_f: np.ndarray) -> np.ndarray:
+    """[N*8, 8] child-box blocks -> lane-dense [ceil(N/16)*8, 128].
+
+    A [M,8] f32 VMEM array physically pads its 8 lanes to 128 (16x waste);
+    packing 16 nodes per (8,128) tile — node n's block at rows
+    (n//16)*8..+8, lanes 8*(n%16)..+8 — moves zero padding.  The kernel
+    extracts a node with one dynamic lane ROTATE (pltpu.roll), the same
+    trick the paged page format uses (accel/paged.py).  Node 0 stays at
+    rows 0:8 lanes 0:8, so root_exit_clamp_wide reads it unchanged.
+    """
+    n = nodes8_f.shape[0] // 8
+    nt = -(-n // 16)
+    padded = np.zeros((nt * 16, 8, 8), np.float32)
+    padded[:n] = nodes8_f.reshape(n, 8, 8)
+    # [nt,16,8,8] -> tile rows = box rows, lanes = 16 nodes side by side
+    return (padded.reshape(nt, 16, 8, 8).transpose(0, 2, 1, 3)
+            .reshape(nt * 8, 128))
+
+
+def lane_dense_pack16(pack16: np.ndarray) -> np.ndarray:
+    """[T8,16] leaf blocks -> lane-dense [ceil(T8/64)*8, 128].
+
+    Leaf block l (old rows l*8..+8) lands at rows (l//8)*8..+8, lanes
+    16*(l%8)..+16; extraction is a dynamic sublane slice + dynamic lane
+    rotate.  Same 8x VMEM saving as the boxes (16 lanes padded to 128).
+    """
+    nb = pack16.shape[0] // 8
+    nbp = -(-nb // 8) * 8
+    p = np.zeros((nbp, 8, 16), pack16.dtype)
+    p[:nb] = pack16.reshape(nb, 8, 16)
+    return (p.reshape(nbp // 8, 8, 8, 16).transpose(0, 2, 1, 3)
+            .reshape(-1, 128))
+
+
 def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
     """8-aligned leaf blocks for the vector leaf phase.
 

@@ -62,7 +62,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
-    root_exit_clamp_wide, wide_packet_traverse)
+    make_dense_leaf_blk, make_dense_node_boxes, root_exit_clamp_wide,
+    wide_packet_traverse)
 from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.config import RenderSettings
 from vrenderer_pathtracer_tpu.core import rng as rng_mod
@@ -79,9 +80,10 @@ from vrenderer_pathtracer_tpu.scene.scene import Scene
 from vrenderer_pathtracer_tpu.scene.spheres import (
     EXAMPLE_SPHERE_POS, EXAMPLE_SPHERE_RADIUS, SPEC)
 
-# VMEM budget for the scene-resident arrays (nodes + triangles + attrs),
-# leaving room for the per-lane tile working set and double buffering.
-VMEM_SCENE_BUDGET = 10 * 1024 * 1024
+# PHYSICAL VMEM budget for the scene-resident arrays (layout-aware, see
+# accel/pallas_traverse.wide_vmem_bytes), leaving room for the per-lane
+# tile working set and double buffering.
+VMEM_SCENE_BUDGET = 24 * 1024 * 1024
 
 
 class _Defer:
@@ -140,11 +142,11 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         mesh = scene.mesh
         if mesh is None or mesh.paged is not None or mesh.nodes8_f is None:
             return False
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+            wide_vmem_bytes)
+
         defer = _Defer(settings)
-        bytes_needed = (mesh.nodes8_f.size + mesh.tri_pack.size) * 4
-        if defer.merl:
-            bytes_needed += mesh.tri_aux_pack.size * 4
-        if bytes_needed >= VMEM_SCENE_BUDGET:
+        if wide_vmem_bytes(mesh, with_aux=defer.merl) >= VMEM_SCENE_BUDGET:
             return False
     return True
 
@@ -416,7 +418,7 @@ def _kernel(cam, spheres, streams, *rest,
                         uvu_scr[row, :] = jnp.where(win, iu, uvu_scr[row, :])
                         uvv_scr[row, :] = jnp.where(win, iv, uvv_scr[row, :])
                     if defer.merl:
-                        aux = tri_aux[pl.ds(ref, 8), :]
+                        aux = make_dense_leaf_blk(tri_aux)(ref)
                         tx = select(bw * aux[:, 0:1] + bu * aux[:, 3:4]
                                     + bv * aux[:, 6:7])
                         ty = select(bw * aux[:, 1:2] + bu * aux[:, 4:5]
@@ -442,9 +444,9 @@ def _kernel(cam, spheres, streams, *rest,
                 # iteration overlap the serialized scalar<->vector chains.
                 wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
-                    node_boxes=lambda n: nodes8_f[pl.ds(n * 8, 8), :],
+                    node_boxes=make_dense_node_boxes(nodes8_f),
                     node_meta=node_meta,
-                    leaf_blk=lambda ref: tri_pack[pl.ds(ref, 8), :],
+                    leaf_blk=make_dense_leaf_blk(tri_pack),
                     n_nodes=nodes8_i.shape[0] // 16,
                     on_win=on_win,
                     nodes_per_visit=2 if dual else 1,

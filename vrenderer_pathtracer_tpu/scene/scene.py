@@ -65,14 +65,20 @@ class MeshData(NamedTuple):
     paged: Optional[PagedNodes] = None  # set for VMEM-exceeding meshes
     # 8-wide collapse of the same tree (accel/wide.py), used by the Pallas
     # packet kernel to amortize block-vote round trips over 8 children.
-    nodes8_f: Optional[jnp.ndarray] = None   # [N*8,8] child AABBs (lo3,hi3)
+    # TWO layouts, chosen per mesh by VMEM footprint (pack_from_bvh) and
+    # dispatched statically on the lane width: sparse [N*8,8] (fast direct
+    # loads, 16x lane padding) or LANE-DENSE [ceil(N/16)*8,128] (16 nodes
+    # per tile, dynamic lane rotate, zero padding — 8x mesh ceiling).
+    nodes8_f: Optional[jnp.ndarray] = None   # [N*8,8] or lane-dense [.,128]
     nodes8_i: Optional[jnp.ndarray] = None   # [N,16] 8 x (ref,count)
     nodes8_ax: Optional[jnp.ndarray] = None  # [N,1] build-time sort axis
-    # 8-aligned leaf blocks (v0,e1,e2,orig slot,uv corners) for the vector
-    # leaf phase; nodes8_i leaf refs index THIS space, nodes_i the
-    # contiguous arrays.  The aux pack carries tangent corners (MERL).
-    tri_pack: Optional[jnp.ndarray] = None       # [T8,16] float32
-    tri_aux_pack: Optional[jnp.ndarray] = None   # [T8,16] float32
+    # Leaf blocks (v0,e1,e2,orig slot,uv corners) for the vector leaf
+    # phase: sparse [T8,16] or lane-dense [ceil(T8/64)*8,128] (8 blocks
+    # per tile, lane_dense_pack16); nodes8_i leaf refs index the sparse
+    # row space either way (dense block = ref//8), nodes_i the contiguous
+    # arrays.  The aux pack carries tangent corners (MERL).
+    tri_pack: Optional[jnp.ndarray] = None       # see layout note above
+    tri_aux_pack: Optional[jnp.ndarray] = None   # 〃
 
 
 class Scene(NamedTuple):
