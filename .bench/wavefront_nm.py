@@ -74,8 +74,25 @@ def main():
         jax.block_until_ready(outs)
         wall_ms = (time.perf_counter() - t0) / n_it * 1e3
         rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
+
+        # In-jit device loop (CLAUDE.md cross-check): 8 passes inside ONE
+        # program, so per-call relay overhead is paid once.
+        @jax.jit
+        def loop(cam):
+            def body(i, acc):
+                rgb, _ = run.__wrapped__(cam, 2 + i)
+                return acc + jnp.sum(rgb[:16])
+
+            return jax.lax.fori_loop(0, 8, body, jnp.zeros(3))
+
+        jax.block_until_ready(loop(cams[0]))
+        t0 = time.perf_counter()
+        jax.block_until_ready([loop(cams[1])])
+        loop_ms = (time.perf_counter() - t0) / 8 * 1e3
         print(f"RESULT cfg={name} wall_ms={wall_ms:.2f} "
-              f"mrays={rays / wall_ms / 1e3:.2f} traversal={settings.traversal}")
+              f"mrays={rays / wall_ms / 1e3:.2f} "
+              f"inloop_ms={loop_ms:.2f} mrays_inloop={rays / loop_ms / 1e3:.2f} "
+              f"traversal={settings.traversal}")
         if verbose_events:
             import tempfile as tf
 
