@@ -277,13 +277,16 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     tangent_c = norm3(bary_mix(15))
     tangent = jnp.stack(tangent_c, axis=-1)
 
-    fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
-             else tex_ops.fetch_nearest)
     use_tex = not settings.use_brdf
-    if settings.has_diffuse_map and use_tex:
-        color = fetch(scene.diffuse_map, uv[:, 0], uv[:, 1])
-    else:
-        color = jnp.ones_like(point)
+    # One combined gather for every map sampled at this uv (gathers are
+    # row-transaction bound; 3 maps x 4 bounces was ~18% of an nm pass).
+    texd, texn, texs = tex_ops.fetch_maps(
+        [scene.diffuse_map if settings.has_diffuse_map and use_tex else None,
+         scene.normal_map if settings.has_normal_map else None,
+         scene.specular_map if settings.has_specular_map and use_tex
+         else None],
+        uv[:, 0], uv[:, 1], settings.texture_filter)
+    color = texd if texd is not None else jnp.ones_like(point)
 
     ne1 = [-rows[:, 3 + k] for k in range(3)]
     ne2 = [-rows[:, 6 + k] for k in range(3)]
@@ -291,16 +294,12 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     face_n = jnp.stack(norm3(cross(ne1, ne2)), axis=-1)
     if settings.has_normal_map:
         smooth_n = jnp.stack(norm3(bary_mix(24)), axis=-1)
-        texel = fetch(scene.normal_map, uv[:, 0], uv[:, 1])
-        n_ts = tex_ops.decode_normal_map(texel)
+        n_ts = tex_ops.decode_normal_map(texn)
         normal = tex_ops.apply_tbn(smooth_n, tangent, n_ts)
     else:
         normal = face_n
 
-    if settings.has_specular_map and use_tex:
-        spec = fetch(scene.specular_map, uv[:, 0], uv[:, 1])
-    else:
-        spec = jnp.zeros_like(point)
+    spec = texs if texs is not None else jnp.zeros_like(point)
 
     hit_type = jnp.full(t.shape, BRDF if settings.use_brdf else DIFF, jnp.int32)
     closer = slot >= 0

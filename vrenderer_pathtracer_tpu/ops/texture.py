@@ -43,16 +43,42 @@ def gather_rows(flat, addr):
 
 
 def fetch_nearest(tex, u, v):
-    """tex [H,W,3]; u,v [B] -> [B,3] (reference-parity integer fetch)."""
-    height, width = tex.shape[0], tex.shape[1]
+    """tex [H,W,C]; u,v [B] -> [B,C] (reference-parity integer fetch)."""
+    height, width, c = tex.shape
     x = (u * width).astype(jnp.int32)
     y = (v * height).astype(jnp.int32)
     addr = jnp.clip(x + y * width, 0, width * height - 1)
-    return gather_rows(tex.reshape(-1, 3), addr)
+    return gather_rows(tex.reshape(-1, c), addr)
+
+
+def fetch_maps(maps, u, v, filter_mode):
+    """Fetch several maps at the SAME (u, v) with one combined gather.
+
+    Gathers are row-transaction bound (~2.4ns/row at any width,
+    docs/PERF.md round 4), so fetching diffuse+normal+specular as one
+    [B,9] gather costs a third of three [B,3] gathers.  ``maps`` is a
+    list of [H,W,3]-or-None; same-resolution present maps are fetched
+    through a channel-concatenated table (bitwise-identical rows), the
+    rest individually.  Returns a list aligned with ``maps`` (None where
+    the input was None).
+    """
+    fetch = fetch_bilinear if filter_mode == "bilinear" else fetch_nearest
+    live = [(i, m) for i, m in enumerate(maps) if m is not None]
+    out = [None] * len(maps)
+    shapes = {m.shape[:2] for _, m in live}
+    if len(live) <= 1 or len(shapes) != 1:
+        for i, m in live:
+            out[i] = fetch(m, u, v)
+        return out
+    combined = jnp.concatenate([m for _, m in live], axis=2)
+    texc = fetch(combined, u, v)
+    for k, (i, _) in enumerate(live):
+        out[i] = texc[:, 3 * k:3 * k + 3]
+    return out
 
 
 def fetch_bilinear(tex, u, v):
-    """Clamped bilinear fetch for smooth texture gradients."""
+    """Clamped bilinear fetch ([H,W,C]) for smooth texture gradients."""
     height, width = tex.shape[0], tex.shape[1]
     fx = u * width - 0.5
     fy = v * height - 0.5
@@ -64,7 +90,7 @@ def fetch_bilinear(tex, u, v):
     x1c = jnp.clip(x0 + 1, 0, width - 1)
     y0c = jnp.clip(y0, 0, height - 1)
     y1c = jnp.clip(y0 + 1, 0, height - 1)
-    flat = tex.reshape(-1, 3)
+    flat = tex.reshape(-1, tex.shape[2])
     c00 = gather_rows(flat, x0c + y0c * width)
     c10 = gather_rows(flat, x1c + y0c * width)
     c01 = gather_rows(flat, x0c + y1c * width)

@@ -129,13 +129,15 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     u = jnp.arctan2(normal[:, 0], normal[:, 2]) / (2.0 * jnp.pi) + 0.5
     v = normal[:, 1] * 0.5 + 0.5
 
-    fetch = (tex_ops.fetch_bilinear if settings.texture_filter == "bilinear"
-             else tex_ops.fetch_nearest)
     use_tex = not settings.use_brdf
-    if settings.has_diffuse_map and use_tex:
-        color = fetch(scene.diffuse_map, u, v)
-    else:
-        color = jnp.ones_like(point)
+    # One combined gather for all maps at this uv (see shade_mesh_hit).
+    texd, texn, texs = tex_ops.fetch_maps(
+        [scene.diffuse_map if settings.has_diffuse_map and use_tex else None,
+         scene.normal_map if settings.has_normal_map else None,
+         scene.specular_map if settings.has_specular_map and use_tex
+         else None],
+        u, v, settings.texture_filter)
+    color = texd if texd is not None else jnp.ones_like(point)
 
     # Spherical tangent estimate (reference's formula, kept for parity).
     pr = jnp.maximum(jnp.linalg.norm(point, axis=-1), 1e-12)
@@ -147,14 +149,10 @@ def _example_sphere_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, pr
     )
 
     if settings.has_normal_map:
-        texel = fetch(scene.normal_map, u, v)
-        n_ts = tex_ops.decode_normal_map(texel)
+        n_ts = tex_ops.decode_normal_map(texn)
         normal = tex_ops.apply_tbn(normal, tangent, n_ts)
 
-    if settings.has_specular_map and use_tex:
-        spec = fetch(scene.specular_map, u, v)
-    else:
-        spec = jnp.zeros_like(point)
+    spec = texs if texs is not None else jnp.zeros_like(point)
 
     hit_type = jnp.full(dist.shape, BRDF if settings.use_brdf else DIFF, jnp.int32)
 
