@@ -55,9 +55,10 @@ def main():
         origin=jnp.asarray([1e-4 * i, 0.0, 40.0], jnp.float32))
         for i in range(25)]
 
-    def bench(name, scene, verbose_events=False):
+    def bench(name, scene, verbose_events=False, captured=False):
         settings = settings_for_scene(scene, base)
-        settings = settings.replace(radiance_kernel="xla")
+        settings = settings.replace(radiance_kernel="xla",
+                                    captured_attrs=captured)
 
         def run(cam, frame):
             ro, rd = generate_rays(cam, settings.width, settings.height)
@@ -113,6 +114,11 @@ def main():
           verbose_events=True)
     bench("nm_notex", Scene(spheres=build_sphere_set(False), mesh=mesh,
                             hdr=hdr, normal_map=nmap, specular_map=smap))
+    bench("plain_capt", Scene(spheres=build_sphere_set(False), mesh=mesh,
+                              hdr=hdr, diffuse_map=tex), captured=True)
+    bench("nm_capt", Scene(spheres=build_sphere_set(False), mesh=mesh,
+                           hdr=hdr, diffuse_map=tex, normal_map=nmap,
+                           specular_map=smap), captured=True)
 
 
 main()

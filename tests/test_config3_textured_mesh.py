@@ -55,6 +55,45 @@ def test_diffuse_map_colors_mesh(sphere_obj):
     assert abs(cp[0] - cp[1]) < 0.1 * cp[0]  # plain mesh is neutral
 
 
+def test_captured_attrs_wavefront_parity(sphere_obj):
+    """The forward-only captured-attrs path (win-time kernel attributes,
+    settings.captured_attrs) matches the gather+recompute wavefront on a
+    normal+specular-mapped mesh scene under the usual cross-program
+    outlier contract (interpret-mode Pallas traversal on CPU)."""
+    import jax
+
+    from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+    from vrenderer_pathtracer_tpu.core.camera import (
+        Camera, generate_rays, pixel_ids)
+    from vrenderer_pathtracer_tpu.native import load_obj
+    from vrenderer_pathtracer_tpu.render.integrator import render_pass
+    from vrenderer_pathtracer_tpu.scene.scene import Scene
+    from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+
+    rng = np.random.default_rng(9)
+    nmap = jnp.asarray((rng.uniform(0, 1, (16, 16, 3)) * 0.3
+                        + (0.35, 0.35, 0.7)).astype(np.float32))
+    smap = jnp.asarray(rng.uniform(0, 1, (16, 16, 3)).astype(np.float32))
+    dmap = jnp.asarray(rng.uniform(0.2, 1, (16, 16, 3)).astype(np.float32))
+    mesh = pack_mesh(load_obj(sphere_obj))
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh,
+                  diffuse_map=dmap, normal_map=nmap, specular_map=smap)
+    settings = SETTINGS.replace(
+        width=32, height=32, has_mesh=True, has_diffuse_map=True,
+        has_normal_map=True, has_specular_map=True,
+        traversal="pallas_interpret")
+    cam = Camera.default()
+    ro, rd = generate_rays(cam, 32, 32)
+    ids = pixel_ids(32, 32)
+    args = (jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0))
+    rgb_a, dep_a = render_pass(scene, settings, ro, rd, ids, *args)
+    rgb_b, dep_b = render_pass(
+        scene, settings.replace(captured_attrs=True), ro, rd, ids, *args)
+    d = np.abs(np.asarray(rgb_a) - np.asarray(rgb_b)).max(axis=-1)
+    assert (d > 1e-3).mean() <= 0.02, f"{(d > 1e-3).mean():.3%} diverge"
+    assert d[d <= 1e-3].mean() <= 1e-4
+
+
 def test_normal_map_changes_shading(sphere_obj):
     flat = np.zeros((16, 16, 3), np.float32)
     flat[..., 2] = 1.0  # (0,0,1) tangent space = unperturbed

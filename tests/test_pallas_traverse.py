@@ -192,6 +192,65 @@ def test_woop_leaf_test_matches_mt():
                                rtol=2e-3, atol=2e-4)
 
 
+def test_capture_attrs_match_recompute(tmp_path):
+    """Win-time captured attributes (normal/uv/tangent/smooth) match a
+    straight recompute from the contiguous arrays at the winning slot —
+    the contract the forward-only captured_attrs shading path relies on
+    (accel/traverse.py shade_mesh_hit_captured)."""
+    from tests.test_mesh_render import write_uv_sphere
+    from vrenderer_pathtracer_tpu.native import load_obj
+
+    p = tmp_path / "cap.obj"
+    write_uv_sphere(p, radius=12.0, n_theta=10, n_phi=14)
+    mesh = pack_mesh(load_obj(str(p)))
+    rng = np.random.default_rng(4)
+    o = jnp.asarray(
+        rng.uniform(-3, 3, (1024, 3)).astype(np.float32)
+        + np.array([0, 0, 30], np.float32))
+    d = jnp.asarray(np.tile(np.array([[0, 0, -1]], np.float32), (1024, 1)))
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    slot, t, extras = traverse_packets(
+        mesh, o, d, t_max, interpret=True,
+        capture=("normal", "uv", "tangent", "smooth"))
+    s = np.asarray(slot)
+    hit = s >= 0
+    assert hit.sum() > 200
+    si = s[hit]
+    v0 = np.asarray(mesh.tri_v0)[si]
+    e1 = np.asarray(mesh.tri_e1)[si]
+    e2 = np.asarray(mesh.tri_e2)[si]
+    on, dn = np.asarray(o)[hit], np.asarray(d)[hit]
+    # Möller–Trumbore recompute of (u, v) at the winning slot.
+    pv = np.cross(dn, e2)
+    det = np.einsum("ij,ij->i", e1, pv)
+    tv = on - v0
+    u = np.einsum("ij,ij->i", tv, pv) / det
+    qv = np.cross(tv, e1)
+    v = np.einsum("ij,ij->i", dn, qv) / det
+    w = 1.0 - u - v
+
+    def norm(x):
+        return x / np.maximum(
+            np.linalg.norm(x, axis=-1, keepdims=True), 1e-20)
+
+    def bary(corners):  # [n,3,k]
+        return (w[:, None] * corners[:, 0] + u[:, None] * corners[:, 1]
+                + v[:, None] * corners[:, 2])
+
+    np.testing.assert_allclose(
+        np.asarray(extras["normal"])[hit], norm(np.cross(e1, e2)),
+        rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(extras["uv"])[hit], bary(np.asarray(mesh.tri_uv)[si]),
+        rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(extras["tangent"])[hit],
+        norm(bary(np.asarray(mesh.tri_t)[si])), rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(extras["smooth"])[hit],
+        norm(bary(np.asarray(mesh.tri_n)[si])), rtol=2e-3, atol=2e-3)
+
+
 def test_packets_respect_t_max():
     """Hits beyond t_max (e.g. an earlier sphere hit) must be rejected."""
     host = _soup(60, seed=7)

@@ -112,16 +112,18 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
     # an 8x higher single-level ceiling; accessors dispatch on lane width
     # in pallas_common.make_node_boxes_fn/make_leaf_blk_fn).
     n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
-    n8i, tri_pack, tri_aux_pack = build_leaf_packs(
+    n8i, tri_pack, tri_aux_pack, tri_nrm_pack = build_leaf_packs(
         n8i, v0, v1 - v0, v2 - v0,
         corners(mesh.uvs).reshape(-1, 6),
-        corners(mesh.tangents).reshape(-1, 9))
+        corners(mesh.tangents).reshape(-1, 9),
+        nrms9=corners(mesh.normals).reshape(-1, 9))
     sparse_phys = (n8f.size * 64
                    + (tri_pack.size + tri_aux_pack.size) * 32)
     if sparse_phys > SPARSE_PHYS_BUDGET:
         n8f = lane_dense_boxes(n8f)
         tri_pack = lane_dense_pack16(tri_pack)
         tri_aux_pack = lane_dense_pack16(tri_aux_pack)
+        tri_nrm_pack = lane_dense_pack16(tri_nrm_pack)
 
     return MeshData(
         nodes_f=jnp.asarray(bvh.nodes_f),
@@ -131,6 +133,7 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
         nodes8_ax=jnp.asarray(n8ax)[:, None],  # 2-D: Mosaic scalar loads
         tri_pack=jnp.asarray(tri_pack),
         tri_aux_pack=jnp.asarray(tri_aux_pack),
+        tri_nrm_pack=jnp.asarray(tri_nrm_pack),
         tri_v0=jnp.asarray(pad(v0)),
         tri_e1=jnp.asarray(pad(v1 - v0)),
         tri_e2=jnp.asarray(pad(v2 - v0)),

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -117,14 +118,79 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
 
-def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
-                 ox, oy, oz, dx, dy, dz, tmax_ref,
-                 slot_out, t_out, stack, dual=False, leaf_test="mt"):
+# Win-time attribute capture: field -> component count (forward-only; the
+# values agree with shade_mesh_hit's differentiable recompute up to fp
+# association, so the renderer's forward step can skip the per-bounce
+# wide-row attribute gather entirely — ~10ms per 4M-lane bounce).
+CAPTURE_WIDTHS = {"normal": 3, "uv": 2, "tangent": 3, "smooth": 3}
+
+
+def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
+                 dual=False, leaf_test="mt", capture=()):
     """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
+    rest = list(rest)
+    aux = rest.pop(0) if "tangent" in capture else None
+    nrm = rest.pop(0) if "smooth" in capture else None
+    ox, oy, oz, dx, dy, dz, tmax_ref = rest[:7]
+    outs = rest[7:]
+    slot_out, t_out = outs[0], outs[1]
+    cap_outs = outs[2:-1]
+    stack = outs[-1]
+
     slot_out[:] = jnp.full(slot_out.shape, -1, jnp.int32)
     o = (ox[:], oy[:], oz[:])
     d = (dx[:], dy[:], dz[:])
     t_out[:] = root_exit_clamp_wide(o, d, tmax_ref[:], nodes8_f[0:8, :])
+
+    on_win = None
+    if capture:
+        co = {}
+        i = 0
+        for f in capture:
+            w = CAPTURE_WIDTHS[f]
+            co[f] = cap_outs[i:i + w]
+            i += w
+        for r in cap_outs:
+            r[:] = jnp.zeros(r.shape, jnp.float32)
+        aux_blk = make_dense_leaf_blk(aux) if aux is not None else None
+        nrm_blk = make_dense_leaf_blk(nrm) if nrm is not None else None
+
+        def on_win(g, ref, win, select, blk, bu, bv):
+            shape = (8, slot_out.shape[1])
+            row = slice(g, g + 1)
+            bw = 1.0 - bu - bv
+
+            def bary3(b, base):
+                return tuple(
+                    select(bw * b[:, base + k:base + k + 1]
+                           + bu * b[:, base + 3 + k:base + 4 + k]
+                           + bv * b[:, base + 6 + k:base + 7 + k])
+                    for k in range(3))
+
+            def write3(refs3, xyz):
+                x, y, z = xyz
+                inv = lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-40))
+                for r, v in zip(refs3, (x * inv, y * inv, z * inv)):
+                    r[row, :] = jnp.where(win, v, r[row, :])
+
+            if "normal" in co:
+                fx = blk[:, 4:5] * blk[:, 8:9] - blk[:, 5:6] * blk[:, 7:8]
+                fy = blk[:, 5:6] * blk[:, 6:7] - blk[:, 3:4] * blk[:, 8:9]
+                fz = blk[:, 3:4] * blk[:, 7:8] - blk[:, 4:5] * blk[:, 6:7]
+                write3(co["normal"],
+                       tuple(select(jnp.broadcast_to(c, shape))
+                             for c in (fx, fy, fz)))
+            if "uv" in co:
+                iu = select(bw * blk[:, 10:11] + bu * blk[:, 12:13]
+                            + bv * blk[:, 14:15])
+                iv = select(bw * blk[:, 11:12] + bu * blk[:, 13:14]
+                            + bv * blk[:, 15:16])
+                co["uv"][0][row, :] = jnp.where(win, iu, co["uv"][0][row, :])
+                co["uv"][1][row, :] = jnp.where(win, iv, co["uv"][1][row, :])
+            if "tangent" in co:
+                write3(co["tangent"], bary3(aux_blk(ref), 0))
+            if "smooth" in co:
+                write3(co["smooth"], bary3(nrm_blk(ref), 0))
 
     def node_meta(n):
         refs = [nodes8_i[n * 16 + 2 * c] for c in range(8)]
@@ -140,6 +206,7 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack,
         n_nodes=nodes8_i.shape[0] // 16,
         nodes_per_visit=2 if dual else 1,
         leaf_test=leaf_test,
+        on_win=on_win,
     )
     t_out[:] = jnp.where(slot_out[:] >= 0, t_out[:], tmax_ref[:])
 
@@ -168,10 +235,10 @@ def _tile_remap(x, h: int, w: int, inverse: bool = False):
 
 @functools.partial(jax.jit,
                    static_argnames=("interpret", "image_shape", "block_rows",
-                                    "dual", "leaf_test"))
+                                    "dual", "leaf_test", "capture"))
 def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
                      image_shape=None, block_rows=LANE_ROWS, dual=True,
-                     leaf_test="mt"):
+                     leaf_test="mt", capture=()):
     """Pallas packet traversal over [B] rays (B padded to a block multiple).
 
     Returns ``(slot [B] int32, t [B] f32)`` matching accel.traverse.traverse.
@@ -219,33 +286,42 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     # Node arrays are FLATTENED to 1-D: SMEM windows pad 2-D rows to 128
     # lanes (a [M,12] window would balloon ~10x past the ~1MB SMEM budget).
     wide = mesh.nodes8_f is not None
+    n_cap = sum(CAPTURE_WIDTHS[f] for f in capture)
     if wide:
         kernel = functools.partial(_kernel_wide, dual=dual,
-                                   leaf_test=leaf_test)
-        scene_args = (mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
-                      mesh.nodes8_ax.reshape(-1), mesh.tri_pack)
+                                   leaf_test=leaf_test, capture=capture)
+        scene_args = [mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
+                      mesh.nodes8_ax.reshape(-1), mesh.tri_pack]
         # Boxes [N*8,8] and triangle leaf blocks [T8,16] in VMEM (both
         # fetched as aligned vector blocks per visit); child records +
         # axis scalar-resident in SMEM.
         scene_specs = [scene_spec, smem_spec, smem_spec, scene_spec]
+        if "tangent" in capture:
+            scene_args.append(mesh.tri_aux_pack)
+            scene_specs.append(scene_spec)
+        if "smooth" in capture:
+            scene_args.append(mesh.tri_nrm_pack)
+            scene_specs.append(scene_spec)
         stack_depth = WIDE_STACK_DEPTH
     else:
+        assert not capture, "attr capture needs the wide kernel"
         kernel = _kernel
-        scene_args = (mesh.nodes_f.reshape(-1), mesh.nodes_i.reshape(-1),
-                      mesh.tri_v0, mesh.tri_e1, mesh.tri_e2)
+        scene_args = [mesh.nodes_f.reshape(-1), mesh.nodes_i.reshape(-1),
+                      mesh.tri_v0, mesh.tri_e1, mesh.tri_e2]
         scene_specs = [smem_spec] * 2 + [scene_spec] * 3
         stack_depth = STACK_DEPTH
 
-    slot, t = pl.pallas_call(
+    tile_f32 = jax.ShapeDtypeStruct((nb * block_rows, LANE_COLS), jnp.float32)
+    slot, t, *caps = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=scene_specs + [ray_spec] * 7,
         name=f"traverse_{'wide' if wide else 'bin'}",
-        out_specs=(ray_spec, ray_spec),
+        out_specs=(ray_spec, ray_spec) + (ray_spec,) * n_cap,
         out_shape=(
             jax.ShapeDtypeStruct((nb * block_rows, LANE_COLS), jnp.int32),
-            jax.ShapeDtypeStruct((nb * block_rows, LANE_COLS), jnp.float32),
-        ),
+            tile_f32,
+        ) + (tile_f32,) * n_cap,
         scratch_shapes=[pltpu.SMEM((stack_depth,), jnp.int32)],
         # Headroom beyond the 16MB default so the kernel still fits when the
         # surrounding render-step program pins buffers in VMEM.
@@ -259,9 +335,19 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
         comp(ray_d[:, 0]), comp(ray_d[:, 1]), comp(ray_d[:, 2]),
         comp(t_max),
     )
-    slot = slot.reshape(-1)[:b]
-    t = t.reshape(-1)[:b]
-    if tiled:
-        slot = _tile_remap(slot, h, w, inverse=True)
-        t = _tile_remap(t, h, w, inverse=True)
-    return slot, t
+
+    def unmap1(x):
+        x = x.reshape(-1)[:b]
+        return _tile_remap(x, h, w, inverse=True) if tiled else x
+
+    slot = unmap1(slot)
+    t = unmap1(t)
+    if not capture:
+        return slot, t
+    extras = {}
+    i = 0
+    for f in capture:
+        w_ = CAPTURE_WIDTHS[f]
+        extras[f] = jnp.stack([unmap1(c) for c in caps[i:i + w_]], axis=-1)
+        i += w_
+    return slot, t, extras

@@ -320,6 +320,64 @@ def shade_mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, slot,
     )
 
 
+def shade_mesh_hit_captured(scene: Scene, settings: RenderSettings,
+                            ray_o, ray_d, slot, t, extras, prev):
+    """FORWARD-ONLY shading from win-time captured attributes.
+
+    The packet kernel interpolates (face normal, uv, tangent, smooth
+    normal) from the same leaf-block data at win time
+    (pallas_traverse CAPTURE_WIDTHS), so the per-bounce wide-row
+    attribute gather and the Möller–Trumbore recompute disappear.  Values
+    agree with :func:`shade_mesh_hit` up to fp association (the usual
+    cross-program outlier contract); gradients do NOT flow — only the
+    renderer's forward step opts in (settings.captured_attrs).
+    """
+    from vrenderer_pathtracer_tpu.render.integrator import HitData
+
+    closer = slot >= 0
+    t_safe = jnp.where(closer, t, 0.0)
+    point = ray_o + ray_d * t_safe[:, None]
+    use_tex = not settings.use_brdf
+    if "uv" in extras:
+        uv = extras["uv"]
+        texd, texn, texs = tex_ops.fetch_maps(
+            [scene.diffuse_map
+             if settings.has_diffuse_map and use_tex else None,
+             scene.normal_map if settings.has_normal_map else None,
+             scene.specular_map
+             if settings.has_specular_map and use_tex else None],
+            uv[:, 0], uv[:, 1], settings.texture_filter)
+    else:
+        texd = texn = texs = None
+    color = texd if texd is not None else jnp.ones_like(point)
+    spec = texs if texs is not None else jnp.zeros_like(point)
+    tangent = extras.get("tangent")
+    if tangent is None:
+        tangent = jnp.zeros_like(point)
+    if settings.has_normal_map:
+        n_ts = tex_ops.decode_normal_map(texn)
+        normal = tex_ops.apply_tbn(extras["smooth"], tangent, n_ts)
+    else:
+        normal = extras["normal"]
+    hit_type = jnp.full(t.shape, BRDF if settings.use_brdf else DIFF,
+                        jnp.int32)
+
+    def sel3(a, b):
+        return jnp.where(closer[:, None], a, b)
+
+    return HitData(
+        hit=prev.hit | closer,
+        t=jnp.where(closer, t, prev.t),
+        point=sel3(point, prev.point),
+        normal=sel3(normal, prev.normal),
+        tangent=sel3(tangent, prev.tangent),
+        color=sel3(color, prev.color),
+        spec_color=sel3(spec, prev.spec_color),
+        emission=sel3(jnp.zeros_like(point), prev.emission),
+        hit_type=jnp.where(closer, hit_type, prev.hit_type),
+    )
+
+
 def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev,
              block_rows=None):
     """Mesh intersection vs the running closest hit (integrator hook).
@@ -336,10 +394,35 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev,
     img_shape = (None if settings.sort_rays
                  else (settings.height, settings.width))
     rows = {} if block_rows is None else {"block_rows": block_rows}
-    if settings.traversal == "pallas":
+    if settings.traversal in ("pallas", "pallas_interpret"):
         import functools as _ft
 
         from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
+
+        interp = settings.traversal.endswith("interpret")
+        rows = dict(rows, interpret=interp) if interp else rows
+        if settings.captured_attrs and not settings.sort_rays:
+            # Forward-only fast path: attributes captured at win time in
+            # the kernel (no per-bounce attribute gather / recompute).
+            capture = ["normal"]
+            use_tex = not settings.use_brdf
+            if (settings.has_normal_map
+                    or (use_tex and (settings.has_diffuse_map
+                                     or settings.has_specular_map))):
+                capture.append("uv")
+            if settings.has_normal_map or settings.use_brdf:
+                capture.append("tangent")
+            if settings.has_normal_map:
+                capture.append("smooth")
+            slot, t, extras = traverse_packets(
+                scene.mesh,
+                lax.stop_gradient(ray_o),
+                lax.stop_gradient(ray_d),
+                lax.stop_gradient(prev.t),
+                image_shape=img_shape, capture=tuple(capture), **rows)
+            return shade_mesh_hit_captured(
+                scene, settings, ray_o, ray_d, lax.stop_gradient(slot),
+                lax.stop_gradient(t), extras, prev)
 
         search = _ft.partial(traverse_packets, image_shape=img_shape, **rows)
     elif settings.traversal.startswith("pallas_paged"):

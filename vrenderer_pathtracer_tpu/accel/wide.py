@@ -439,7 +439,7 @@ def lane_dense_pack16(pack16: np.ndarray) -> np.ndarray:
             .reshape(-1, 128))
 
 
-def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
+def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0, nrms9=None):
     """8-aligned leaf blocks for the vector leaf phase.
 
     Rewrites the leaf refs of ``n8i`` (returned as a copy) to index a
@@ -451,10 +451,13 @@ def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
 
     ``v0/e1/e2`` are [R,3] leaf-ordered triangle data, ``uvs6`` [R,6] uv
     corners, ``tans9`` [R,9] tangent corners; ``slot_base`` offsets the
-    recorded winner slots (paged meshes use page*page_tris).
+    recorded winner slots (paged meshes use page*page_tris).  With
+    ``nrms9`` ([R,9] per-corner normals) a third pack is returned for
+    win-time smooth-normal capture (normal-mapped scenes).
     """
     pack_rows = []
     aux_rows = []
+    nrm_rows = []
     n8i = n8i.copy()
     for w in range(n8i.shape[0]):
         for c in range(8):
@@ -473,11 +476,21 @@ def build_leaf_packs(n8i, v0, e1, e2, uvs6, tans9, slot_base=0):
                     arow = np.zeros(16, np.float32)
                     arow[0:9] = tans9[s]
                     aux_rows.append(arow)
+                    if nrms9 is not None:
+                        nrow = np.zeros(16, np.float32)
+                        nrow[0:9] = nrms9[s]
+                        nrm_rows.append(nrow)
                 while len(pack_rows) % 8:
                     pack_rows.append(np.zeros(16, np.float32))
                     aux_rows.append(np.zeros(16, np.float32))
+                    if nrms9 is not None:
+                        nrm_rows.append(np.zeros(16, np.float32))
     tri_pack = (np.stack(pack_rows) if pack_rows
                 else np.zeros((8, 16), np.float32))
     aux_pack = (np.stack(aux_rows) if aux_rows
                 else np.zeros((8, 16), np.float32))
-    return n8i, tri_pack, aux_pack
+    if nrms9 is None:
+        return n8i, tri_pack, aux_pack
+    nrm_pack = (np.stack(nrm_rows) if nrm_rows
+                else np.zeros((8, 16), np.float32))
+    return n8i, tri_pack, aux_pack, nrm_pack

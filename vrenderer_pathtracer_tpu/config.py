@@ -66,6 +66,16 @@ class RenderSettings:
     # .bench/rows_sweep.py; bigger blocks LOSE even on shuffled waves: the
     # any-hit union grows with ray count rather than saturating).
     bounce_block_rows: int = 0
+    # FORWARD-ONLY experiment (measured SLOWER, left opt-in for the
+    # record): take the winning triangle's shading attributes (face/smooth
+    # normal, uv, tangent) from the packet kernel's win-time capture
+    # instead of the per-bounce wide-row gather + recompute.  The capture
+    # hook runs per leaf VISIT (mostly non-winning lanes), which costs
+    # more than the once-per-bounce gather it saves: config-3 wavefront
+    # 188->240 ms, +normal/spec 198->338 ms (docs/PERF.md round 4).
+    # Values agree up to fp association; gradients do NOT flow through
+    # captured attrs.  Single-level Pallas traversal only.
+    captured_attrs: bool = False
     # Forward radiance backend: "auto" resolves (scene/scene.py) to
     # "pallas" (analytic-Cornell megakernel, render/pallas_radiance.py) or
     # "pallas_mesh" (general-scene fused kernel with deferred asset

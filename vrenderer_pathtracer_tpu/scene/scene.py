@@ -79,6 +79,9 @@ class MeshData(NamedTuple):
     # arrays.  The aux pack carries tangent corners (MERL).
     tri_pack: Optional[jnp.ndarray] = None       # see layout note above
     tri_aux_pack: Optional[jnp.ndarray] = None   # 〃
+    # Per-corner NORMALS pack (win-time smooth-normal capture for
+    # normal-mapped scenes); loaded into VMEM only when requested.
+    tri_nrm_pack: Optional[jnp.ndarray] = None   # 〃
 
 
 class Scene(NamedTuple):
