@@ -117,8 +117,10 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
         corners(mesh.uvs).reshape(-1, 6),
         corners(mesh.tangents).reshape(-1, 9),
         nrms9=corners(mesh.normals).reshape(-1, 9))
-    sparse_phys = (n8f.size * 64
-                   + (tri_pack.size + tri_aux_pack.size) * 32)
+    # Layout choice counts boxes + tri_pack only (what every traversal
+    # loads); the MERL aux / normal packs ride along only for scenes that
+    # request them, which the kernels' supports() gates budget separately.
+    sparse_phys = n8f.size * 64 + tri_pack.size * 32
     if sparse_phys > SPARSE_PHYS_BUDGET:
         n8f = lane_dense_boxes(n8f)
         tri_pack = lane_dense_pack16(tri_pack)

@@ -51,16 +51,21 @@ LANE_ROWS = 8
 LANE_COLS = 128
 BLOCK = LANE_ROWS * LANE_COLS  # rays per program: one f32 VPU tile
 
-# PHYSICAL VMEM budget for the wide kernel's scene arrays, leaving room
+# PHYSICAL VMEM budgets for the wide kernel's scene arrays, leaving room
 # for ray tiles, scratch and the surrounding program.  Narrow VMEM arrays
 # pad their lane dim to 128, so the sparse layout's physical footprint is
-# 8-16x its payload; pack_from_bvh keeps the (faster) sparse layout while
-# it fits SPARSE_PHYS_BUDGET and switches to the lane-dense layout beyond.
-# Probed on one v5e (.bench/dense_ceiling.py): a 27.4MB dense scene
-# compiles and runs, 31.9MB fails remote-compile — the budget keeps ~4MB
-# of margin for the ray tiles and the surrounding program.
-VMEM_BUDGET_BYTES = 28 * 1024 * 1024
-SPARSE_PHYS_BUDGET = 24 * 1024 * 1024
+# 8-16x its payload; pack_from_bvh keeps the (faster: no per-visit lane
+# rotates, +15-20% on traversal) sparse layout while boxes+tri_pack fit
+# SPARSE_PHYS_BUDGET and switches to the lane-dense layout beyond.
+# Evidence: a 46.6MB sparse scene (the 28.5k-tri bench mesh) compiled and
+# ran through rounds 2-4; a 27.4MB dense scene runs and 31.9MB fails
+# remote-compile (.bench/dense_ceiling.py — the binding limit there is
+# plausibly the flattened-records SMEM window, which grows with node
+# count, not VMEM).  The MERL aux pack does NOT join the layout choice
+# (loaded only for measured-BRDF scenes; those are gated separately by
+# the callers via wide_vmem_bytes(with_aux=True)).
+VMEM_BUDGET_BYTES = 28 * 1024 * 1024       # dense-layout scene budget
+SPARSE_PHYS_BUDGET = 48 * 1024 * 1024      # sparse-layout scene budget
 
 
 def wide_vmem_bytes(mesh: MeshData, with_aux: bool = False) -> int:
@@ -79,7 +84,9 @@ def fits_vmem(mesh: MeshData) -> bool:
         n_nodes = mesh.nodes_f.shape[0]
         n_tris = mesh.tri_v0.shape[0]
         return 64 * n_nodes + 3 * 16 * n_tris < VMEM_BUDGET_BYTES
-    return wide_vmem_bytes(mesh) < VMEM_BUDGET_BYTES
+    dense = mesh.nodes8_f.shape[-1] == 128
+    budget = VMEM_BUDGET_BYTES if dense else SPARSE_PHYS_BUDGET
+    return wide_vmem_bytes(mesh) <= budget
 
 
 def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,

@@ -80,10 +80,13 @@ from vrenderer_pathtracer_tpu.scene.scene import Scene
 from vrenderer_pathtracer_tpu.scene.spheres import (
     EXAMPLE_SPHERE_POS, EXAMPLE_SPHERE_RADIUS, SPEC)
 
-# PHYSICAL VMEM budget for the scene-resident arrays (layout-aware, see
+# PHYSICAL VMEM budgets for the scene-resident arrays (layout-aware, see
 # accel/pallas_traverse.wide_vmem_bytes), leaving room for the per-lane
-# tile working set and double buffering.
-VMEM_SCENE_BUDGET = 24 * 1024 * 1024
+# tile working set.  Mirrors the traversal budgets: a 46.6MB sparse scene
+# ran this kernel through rounds 2-4; dense scenes are SMEM/record-bound
+# near 28MB (docs/PERF.md round 4).
+VMEM_SCENE_BUDGET_SPARSE = 48 * 1024 * 1024
+VMEM_SCENE_BUDGET_DENSE = 28 * 1024 * 1024
 
 
 class _Defer:
@@ -146,7 +149,10 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
             wide_vmem_bytes)
 
         defer = _Defer(settings)
-        if wide_vmem_bytes(mesh, with_aux=defer.merl) >= VMEM_SCENE_BUDGET:
+        budget = (VMEM_SCENE_BUDGET_DENSE
+                  if mesh.nodes8_f.shape[-1] == 128
+                  else VMEM_SCENE_BUDGET_SPARSE)
+        if wide_vmem_bytes(mesh, with_aux=defer.merl) > budget:
             return False
     return True
 
