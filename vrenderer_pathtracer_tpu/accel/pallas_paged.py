@@ -100,23 +100,33 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
                           bbox[page, 3], bbox[page, 4], bbox[page, 5])
         return hit
 
+    # Words per block of the FLAT page schedule (1-D: 2-D SMEM windows pad
+    # every row to 128 lanes, which is what used to blow the ~1MB budget
+    # at 1080p and force block_rows past the measured optimum).
+    wpb = perm_ref.shape[0] // count_ref.shape[0]
+
+    def sched(i):
+        """Page id i of this block's schedule: TWO 16-bit ids per word."""
+        w = perm_ref[blk * wpb + i // 2]
+        return (w >> (16 * (1 - lax.rem(i, 2)))) & 0xFFFF
+
     @pl.when(cnt > 0)
     def _():
-        live = page_live(perm_ref[blk, 0])
+        live = page_live(sched(0))
         started[0] = live.astype(jnp.int32)
 
         @pl.when(live)
         def _():
-            for c in dmas(0, perm_ref[blk, 0]):
+            for c in dmas(0, sched(0)):
                 c.start()
 
     def body(i, _):
         slot = lax.rem(i, 2)
-        page = perm_ref[blk, i]
+        page = sched(i)
 
         @pl.when(i + 1 < cnt)  # prefetch the next page into the other slot
         def _():
-            nxt = perm_ref[blk, i + 1]
+            nxt = sched(i + 1)
             live = page_live(nxt)
             started[lax.rem(i + 1, 2)] = live.astype(jnp.int32)
 
@@ -260,7 +270,14 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
         perm, jnp.maximum(count - 1, 0)[:, None], axis=1)  # [nb,1]
     pos = jnp.arange(perm.shape[1], dtype=jnp.int32)[None, :]
     perm = jnp.where(pos < jnp.maximum(count, 1)[:, None], perm, last)
-    return count, perm
+    # Pack TWO 16-bit page ids per int32 word: the schedule rides the
+    # scalar-prefetch SMEM window, whose ~768KB budget otherwise forces
+    # block_rows past the measured optimum at 1080p (docs/PERF.md).
+    pg = perm.shape[1]
+    if pg % 2:
+        perm = jnp.pad(perm, ((0, 0), (0, 1)))
+    packed = (perm[:, 0::2] << 16) | perm[:, 1::2]
+    return count, packed.reshape(-1)   # FLAT (1-D SMEM windows are exact)
 
 
 SMEM_SCHEDULE_BUDGET = 768 * 1024  # bytes for the prefetched (count, perm)
@@ -289,8 +306,10 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     inside the jit would not be part of the cache key).
     """
     n_pages = mesh.paged.nodes8_f.shape[0]
+    sched_words = -(-n_pages // 2)   # two 16-bit page ids per int32 word
     b = ray_o.shape[0]
-    while ((-(-b // (block_rows * COLS))) * n_pages * 4 > SMEM_SCHEDULE_BUDGET
+    while ((-(-b // (block_rows * COLS))) * sched_words * 4
+           > SMEM_SCHEDULE_BUDGET
            and block_rows * COLS < b):  # nb==1: nothing left to merge
         block_rows *= 2
     return _traverse_paged(mesh, ray_o, ray_d, t_max, interpret=interpret,
