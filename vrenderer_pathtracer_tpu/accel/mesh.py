@@ -120,7 +120,11 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
     # Layout choice counts boxes + tri_pack only (what every traversal
     # loads); the MERL aux / normal packs ride along only for scenes that
     # request them, which the kernels' supports() gates budget separately.
-    sparse_phys = n8f.size * 64 + tri_pack.size * 32
+    from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+        SPARSE_BOX_BYTES_PER_EL, SPARSE_PACK_BYTES_PER_EL)
+
+    sparse_phys = (n8f.size * SPARSE_BOX_BYTES_PER_EL
+                   + tri_pack.size * SPARSE_PACK_BYTES_PER_EL)
     if sparse_phys > SPARSE_PHYS_BUDGET:
         n8f = lane_dense_boxes(n8f)
         tri_pack = lane_dense_pack16(tri_pack)

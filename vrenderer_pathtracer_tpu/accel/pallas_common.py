@@ -328,11 +328,6 @@ def make_leaf_blk_fn(tri_pack):
     return leaf_blk
 
 
-# Back-compat aliases (the accessors dispatch on layout themselves).
-make_dense_node_boxes = make_node_boxes_fn
-make_dense_leaf_blk = make_leaf_blk_fn
-
-
 def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
                          node_boxes, node_meta, n_nodes,
                          leaf_blk=None, dense=False, dense_pack=None,
@@ -391,8 +386,14 @@ def wide_packet_traverse(o, d, t_out, slot_out, stack, *,
     EXP = os.environ.get("VPT_TRAV_EXP", "")            # dup_* cost probes
     inv = safe_inv(d)
     if dense:
-        test = make_pack_test_fn(o, d, t_out, slot_out, on_win)
+        # The dense leaf-parent branch passes the GROUP base ref for all 8
+        # sub-blocks, which would mis-index any on_win that reads an aux
+        # pack by ref — reject until a per-sub-block ref is plumbed.
+        assert on_win is None, "dense leaf layout has no on_win hook"
+        test = make_pack_test_fn(o, d, t_out, slot_out)
     else:
+        assert not (leaf_test == "woop" and on_win is not None), \
+            "the Woop leaf test has no on_win hook (capture would be lost)"
         tf = (make_pack_test_fn_woop(o, d, t_out, slot_out)
               if leaf_test == "woop" else None)
         leaf = make_pack_leaf_fn(o, d, t_out, slot_out, leaf_blk, on_win,

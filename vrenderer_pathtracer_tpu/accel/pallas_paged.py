@@ -274,6 +274,7 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
     # scalar-prefetch SMEM window, whose ~768KB budget otherwise forces
     # block_rows past the measured optimum at 1080p (docs/PERF.md).
     pg = perm.shape[1]
+    assert pg <= 0x10000, f"{pg} pages overflow the 16-bit schedule ids"
     if pg % 2:
         perm = jnp.pad(perm, ((0, 0), (0, 1)))
     packed = (perm[:, 0::2] << 16) | perm[:, 1::2]

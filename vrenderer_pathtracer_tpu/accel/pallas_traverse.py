@@ -38,8 +38,8 @@ import numpy as np
 
 from vrenderer_pathtracer_tpu.accel.mesh import STACK_DEPTH
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
-    make_dense_leaf_blk,
-    make_dense_node_boxes,
+    make_leaf_blk_fn,
+    make_node_boxes_fn,
     packet_traverse,
     root_exit_clamp_wide,
     wide_packet_traverse,
@@ -66,16 +66,23 @@ BLOCK = LANE_ROWS * LANE_COLS  # rays per program: one f32 VPU tile
 # the callers via wide_vmem_bytes(with_aux=True)).
 VMEM_BUDGET_BYTES = 28 * 1024 * 1024       # dense-layout scene budget
 SPARSE_PHYS_BUDGET = 48 * 1024 * 1024      # sparse-layout scene budget
+# Physical bytes per f32 ELEMENT of the sparse arrays (lane dim padded to
+# 128): boxes [N*8,8] -> 16x lanes x 4B = 64; packs [T8,16] -> 8x x 4B =
+# 32.  Shared by wide_vmem_bytes and pack_from_bvh's layout choice so the
+# two accountings cannot drift.
+SPARSE_BOX_BYTES_PER_EL = 64
+SPARSE_PACK_BYTES_PER_EL = 32
 
 
 def wide_vmem_bytes(mesh: MeshData, with_aux: bool = False) -> int:
     """Physical VMEM bytes of the wide-kernel scene arrays (layout-aware:
     sparse boxes pad 8->128 lanes (16x), sparse packs 16->128 (8x))."""
     dense = mesh.nodes8_f.shape[-1] == 128
-    boxes = mesh.nodes8_f.size * (4 if dense else 64)
-    pack = mesh.tri_pack.size * (4 if dense else 32)
+    boxes = mesh.nodes8_f.size * (4 if dense else SPARSE_BOX_BYTES_PER_EL)
+    pack = mesh.tri_pack.size * (4 if dense else SPARSE_PACK_BYTES_PER_EL)
     if with_aux:
-        pack += mesh.tri_aux_pack.size * (4 if dense else 32)
+        pack += mesh.tri_aux_pack.size * (
+            4 if dense else SPARSE_PACK_BYTES_PER_EL)
     return int(boxes) + int(pack)
 
 
@@ -159,8 +166,8 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
             i += w
         for r in cap_outs:
             r[:] = jnp.zeros(r.shape, jnp.float32)
-        aux_blk = make_dense_leaf_blk(aux) if aux is not None else None
-        nrm_blk = make_dense_leaf_blk(nrm) if nrm is not None else None
+        aux_blk = make_leaf_blk_fn(aux) if aux is not None else None
+        nrm_blk = make_leaf_blk_fn(nrm) if nrm is not None else None
 
         def on_win(g, ref, win, select, blk, bu, bv):
             shape = (8, slot_out.shape[1])
@@ -207,9 +214,9 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
     wide_packet_traverse(
         o, d,
         t_out, slot_out, stack,
-        node_boxes=make_dense_node_boxes(nodes8_f),
+        node_boxes=make_node_boxes_fn(nodes8_f),
         node_meta=node_meta,
-        leaf_blk=make_dense_leaf_blk(tri_pack),
+        leaf_blk=make_leaf_blk_fn(tri_pack),
         n_nodes=nodes8_i.shape[0] // 16,
         nodes_per_visit=2 if dual else 1,
         leaf_test=leaf_test,

@@ -62,7 +62,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from vrenderer_pathtracer_tpu.accel.pallas_common import (
-    make_dense_leaf_blk, make_dense_node_boxes, root_exit_clamp_wide,
+    make_leaf_blk_fn, make_node_boxes_fn, root_exit_clamp_wide,
     wide_packet_traverse)
 from vrenderer_pathtracer_tpu.accel.wide import WIDE_STACK_DEPTH
 from vrenderer_pathtracer_tpu.config import RenderSettings
@@ -424,7 +424,7 @@ def _kernel(cam, spheres, streams, *rest,
                         uvu_scr[row, :] = jnp.where(win, iu, uvu_scr[row, :])
                         uvv_scr[row, :] = jnp.where(win, iv, uvv_scr[row, :])
                     if defer.merl:
-                        aux = make_dense_leaf_blk(tri_aux)(ref)
+                        aux = make_leaf_blk_fn(tri_aux)(ref)
                         tx = select(bw * aux[:, 0:1] + bu * aux[:, 3:4]
                                     + bv * aux[:, 6:7])
                         ty = select(bw * aux[:, 1:2] + bu * aux[:, 4:5]
@@ -450,9 +450,9 @@ def _kernel(cam, spheres, streams, *rest,
                 # iteration overlap the serialized scalar<->vector chains.
                 wide_packet_traverse(
                     (ox, oy, oz), (dx, dy, dz), t_scr, slot_scr, stack,
-                    node_boxes=make_dense_node_boxes(nodes8_f),
+                    node_boxes=make_node_boxes_fn(nodes8_f),
                     node_meta=node_meta,
-                    leaf_blk=make_dense_leaf_blk(tri_pack),
+                    leaf_blk=make_leaf_blk_fn(tri_pack),
                     n_nodes=nodes8_i.shape[0] // 16,
                     on_win=on_win,
                     nodes_per_visit=2 if dual else 1,
