@@ -148,3 +148,39 @@ def test_sharded_megakernel_matches_single_device():
             jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0),
         )
     np.testing.assert_allclose(np.asarray(accum), np.asarray(single), atol=1e-6)
+
+
+def test_sharded_megakernel_odd_tile_px():
+    """tile_px that is NOT a 1024 multiple (the old hard error) now rides
+    the auto-padded megakernel per shard, bit-consistent with the
+    single-device image."""
+    import jax
+
+    from tests.conftest import cpu_devices
+    from vrenderer_pathtracer_tpu.parallel.sharding import (
+        make_render_mesh, replicate, shard_pixels, sharded_render_step)
+    from vrenderer_pathtracer_tpu.utils import interpret_kernels
+
+    settings = SETTINGS.replace(
+        width=72, height=16, samples_per_pass=2, bounces=2,
+        radiance_kernel="pallas",
+    )  # 1152 px / 2 tiles = 576 px per shard
+    scene = Scene.analytic(settings)
+    cam = Camera.default()
+
+    with interpret_kernels():
+        single, _ = render_pass_pallas(
+            scene, settings, cam, jnp.uint32(1), jnp.float32(0.1),
+            jnp.float32(3.0), interpret=True,
+        )
+        mesh = make_render_mesh(n_tiles=2, n_samples=1,
+                                devices=cpu_devices()[:2])
+        step = sharded_render_step(mesh, settings)
+        accum = shard_pixels(
+            mesh, jnp.zeros((settings.n_pixels, 3), jnp.float32))
+        accum, img, depth = step(
+            replicate(mesh, scene), replicate(mesh, cam), accum,
+            jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0),
+        )
+    np.testing.assert_allclose(np.asarray(accum), np.asarray(single),
+                               atol=1e-6)
