@@ -62,6 +62,10 @@ def main():
     ap.add_argument("--sort-rays", action="store_true",
                     help="Morton-sort bounce rays for packet coherence")
     ap.add_argument("--spp", type=int, default=None)
+    ap.add_argument("--spp-per-pass", type=int, default=2,
+                    help="samples per progressive pass (reference parity: "
+                         "2 per frame; larger batches amortize per-wave "
+                         "costs at the price of checkpoint granularity)")
     ap.add_argument("--checkpoint-dir")
     args = ap.parse_args()
 
@@ -89,8 +93,8 @@ def main():
         brdf = args.brdf
 
     r = Renderer(w, h, settings=RenderSettings(
-        samples_per_pass=2, bounces=4, use_fxaa=True, use_brdf=True,
-        remat_bounces=True, sort_rays=args.sort_rays,
+        samples_per_pass=args.spp_per_pass, bounces=4, use_fxaa=True,
+        use_brdf=True, remat_bounces=True, sort_rays=args.sort_rays,
     ))
     t0 = time.perf_counter()
     r.load_hdr(hdr)
