@@ -94,6 +94,42 @@ def test_captured_attrs_wavefront_parity(sphere_obj):
     assert d[d <= 1e-3].mean() <= 1e-4
 
 
+def test_pre_tiled_pallas_matches_xla_traversal(sphere_obj):
+    """render_pass with Pallas traversal (which now hoists the tile remap
+    to once per pass, settings.pre_tiled) matches the XLA-traversal
+    render under the usual cross-program bounds."""
+    from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+    from vrenderer_pathtracer_tpu.core.camera import (
+        Camera, generate_rays, pixel_ids)
+    from vrenderer_pathtracer_tpu.native import load_obj
+    from vrenderer_pathtracer_tpu.render.integrator import render_pass
+    from vrenderer_pathtracer_tpu.scene.scene import Scene
+    from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+
+    rng = np.random.default_rng(5)
+    nmap = jnp.asarray((rng.uniform(0, 1, (16, 16, 3)) * 0.3
+                        + (0.35, 0.35, 0.7)).astype(np.float32))
+    mesh = pack_mesh(load_obj(sphere_obj))
+    scene = Scene(spheres=build_sphere_set(True), mesh=mesh,
+                  normal_map=nmap)
+    base = SETTINGS.replace(width=32, height=32, has_mesh=True,
+                            has_normal_map=True,  # the pre_tile gate
+                            samples_per_pass=2, bounces=2)
+    cam = Camera.default()
+    ro, rd = generate_rays(cam, 32, 32)
+    ids = pixel_ids(32, 32)
+    args = (jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0))
+    rgb_x, dep_x = render_pass(scene, base.replace(traversal="xla"),
+                               ro, rd, ids, *args)
+    rgb_p, dep_p = render_pass(
+        scene, base.replace(traversal="pallas_interpret"),
+        ro, rd, ids, *args)
+    d = np.abs(np.asarray(rgb_x) - np.asarray(rgb_p)).max(axis=-1)
+    assert (d > 1e-3).mean() <= 0.02, f"{(d > 1e-3).mean():.3%} diverge"
+    dd = np.abs(np.asarray(dep_x) - np.asarray(dep_p))
+    assert (dd > 1e-3).mean() <= 0.02
+
+
 def test_normal_map_changes_shading(sphere_obj):
     flat = np.zeros((16, 16, 3), np.float32)
     flat[..., 2] = 1.0  # (0,0,1) tangent space = unperturbed

@@ -389,9 +389,10 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev,
     """
     # Rays are raster-ordered per pass: the Pallas kernels remap blocks to
     # 32x32 pixel tiles so silhouette hit/miss mixing stays local — UNLESS
-    # sort_rays is on, in which case rays arrive Morton-sorted and the
-    # raster remap would scramble that stronger ordering.
-    img_shape = (None if settings.sort_rays
+    # sort_rays is on (rays arrive Morton-sorted; the raster remap would
+    # scramble that stronger ordering) or render_pass already hoisted the
+    # permutation to once-per-pass (settings.pre_tiled).
+    img_shape = (None if settings.sort_rays or settings.pre_tiled
                  else (settings.height, settings.width))
     rows = {} if block_rows is None else {"block_rows": block_rows}
     if settings.traversal in ("pallas", "pallas_interpret"):

@@ -76,6 +76,14 @@ class RenderSettings:
     # Values agree up to fp association; gradients do NOT flow through
     # captured attrs.  Single-level Pallas traversal only.
     captured_attrs: bool = False
+    # INTERNAL (set by render_pass, not by users): rays already arrive in
+    # 32x32-pixel-tile order, so the Pallas traversal kernels skip their
+    # per-call raster<->tile remap.  The wavefront used to pay the remap
+    # reshape/transpose copies PER BOUNCE (2 arrays in + 2 out per
+    # traversal at ~2.3ms per 4M-lane copy); hoisting the permutation to
+    # once per pass is bitwise-identical (block composition is unchanged
+    # and everything between traversals is per-lane elementwise).
+    pre_tiled: bool = False
     # Forward radiance backend: "auto" resolves (scene/scene.py) to
     # "pallas" (analytic-Cornell megakernel, render/pallas_radiance.py) or
     # "pallas_mesh" (general-scene fused kernel with deferred asset

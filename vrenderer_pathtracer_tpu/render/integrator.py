@@ -345,6 +345,32 @@ def render_pass(
     off = jnp.asarray(sample_offset, jnp.uint32) if sample_offset is not None \
         else jnp.uint32(0)
 
+    # Hoist the raster<->tile permutation to once per pass: the traversal
+    # kernels' per-call remap cost 4 big reshape/transpose copies PER
+    # BOUNCE; rays stay in tile order across the whole bounce loop (every
+    # inter-bounce op is per-lane elementwise) and the final per-pixel
+    # arrays are inverse-remapped below.  Bitwise-identical: the block
+    # composition the kernels see is unchanged.
+    # Gated to normal/specular-mapped scenes: measured +21% there
+    # (197.5 -> 163.7 ms on the config-3+nm bench) but -10% on the plain
+    # textured scene (XLA fuses the un-hoisted version better there) —
+    # see docs/PERF.md round 4.
+    pre_tile = (
+        settings.traversal in ("pallas", "pallas_interpret")
+        and settings.has_mesh and not settings.use_example_sphere
+        and (settings.has_normal_map or settings.has_specular_map)
+        and not settings.sort_rays and not settings.pre_tiled
+        and n == settings.n_pixels
+        and settings.width % 32 == 0 and settings.height % 32 == 0)
+    if pre_tile:
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import _tile_remap
+
+        h_, w_ = settings.height, settings.width
+        ray_o = _tile_remap(ray_o, h_, w_)
+        ray_d = _tile_remap(ray_d, h_, w_)
+        pixel_ids = _tile_remap(pixel_ids, h_, w_)
+        settings = settings.replace(pre_tiled=True)
+
     # Memory control: trace `samples_per_chunk` sample batches at a time so
     # the lane dimension stays bounded at high spp (config-5 scale).  The
     # chunks are a true dependency-free sum, so this is pure peak-memory
@@ -368,4 +394,8 @@ def render_pass(
         )
         rgb_sum = rgb_sum + rgb_c.reshape(chunk, n, 3).sum(axis=0)
         depth = depth_c.reshape(chunk, n)[-1]  # same primary ray: last write
-    return rgb_sum / s, depth
+    rgb_mean = rgb_sum / s
+    if pre_tile:
+        rgb_mean = _tile_remap(rgb_mean, h_, w_, inverse=True)
+        depth = _tile_remap(depth, h_, w_, inverse=True)
+    return rgb_mean, depth
