@@ -164,6 +164,11 @@ def main():
         mesh_mega_stats = _mesh_megakernel_bench()
     else:
         mesh_mega_stats = {"mesh_megakernel": f"skipped (elapsed {elapsed:.0f}s)"}
+    elapsed = time.perf_counter() - _T_START
+    if elapsed < 720:
+        nm_stats = _nm_wavefront_bench()
+    else:
+        nm_stats = {"nm_wavefront": f"skipped (elapsed {elapsed:.0f}s)"}
 
     prev = _prev_value()
     record = {
@@ -186,9 +191,73 @@ def main():
             **mega_stats,
             **paged_stats,
             **mesh_mega_stats,
+            **nm_stats,
         },
     }
     print(json.dumps(record))
+
+
+def _nm_wavefront_bench() -> dict:
+    """Quinary metric: the XLA wavefront with Pallas traversal on the
+    config-3 scene PLUS normal+specular maps — the scene class the fused
+    megakernel excludes (VERDICT round-3 #2; hoisted tile permutation +
+    combined-map fetch are its round-4 levers)."""
+    import tempfile
+
+    import numpy as np
+
+    try:
+        from tests.test_mesh_render import write_uv_sphere
+        from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+        from vrenderer_pathtracer_tpu.config import RenderSettings
+        from vrenderer_pathtracer_tpu.core.camera import (
+            Camera, generate_rays, pixel_ids)
+        from vrenderer_pathtracer_tpu.native import load_obj
+        from vrenderer_pathtracer_tpu.render.integrator import render_pass
+        from vrenderer_pathtracer_tpu.scene.scene import (
+            Scene, settings_for_scene)
+        from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+
+        p = os.path.join(tempfile.mkdtemp(), "bench_sphere_nm.obj")
+        write_uv_sphere(p, radius=12.0, n_theta=120, n_phi=120)
+        mesh = pack_mesh(load_obj(p))
+        rng = np.random.default_rng(0)
+        hdr = jnp.asarray(rng.uniform(0, 1.5, (64, 128, 3)).astype(np.float32))
+        tex = jnp.asarray(rng.uniform(0.1, 1, (256, 256, 3)).astype(np.float32))
+        nmap = jnp.asarray((rng.uniform(0, 1, (256, 256, 3)) * 0.2
+                            + (0.4, 0.4, 0.8)).astype(np.float32))
+        smap = jnp.asarray(rng.uniform(0, 1, (256, 256, 3)).astype(np.float32))
+        scene = Scene(spheres=build_sphere_set(False), mesh=mesh, hdr=hdr,
+                      diffuse_map=tex, normal_map=nmap, specular_map=smap)
+        settings = settings_for_scene(scene, RenderSettings(
+            width=1024, height=1024, samples_per_pass=2, bounces=4,
+            use_cornell_box=False)).replace(radiance_kernel="xla")
+        if settings.traversal != "pallas":
+            return {"nm_wavefront": f"traversal={settings.traversal}"}
+        cams = [Camera.default()._replace(
+            origin=jnp.asarray([1e-4 * i, 0.0, 40.0], jnp.float32))
+            for i in range(11)]
+
+        @jax.jit
+        def run(cam, frame):
+            ro, rd = generate_rays(cam, settings.width, settings.height)
+            ids = pixel_ids(settings.width, settings.height)
+            return render_pass(scene, settings, ro, rd, ids,
+                               jnp.uint32(frame), jnp.float32(0.1),
+                               jnp.float32(3.0))
+
+        jax.block_until_ready(run(cams[-1], 1))
+        t0 = time.perf_counter()
+        outs = [run(cams[i], 2 + i) for i in range(10)]
+        jax.block_until_ready(outs)
+        dt = (time.perf_counter() - t0) / 10
+        rays = settings.n_pixels * settings.samples_per_pass * settings.bounces
+        return {
+            "nm_wavefront_mrays_per_s": round(rays / dt / 1e6, 1),
+            "nm_wavefront_pass_ms": round(dt * 1e3, 3),
+        }
+    except Exception as e:  # never let an auxiliary metric kill the bench
+        return {"nm_wavefront_error": f"{type(e).__name__}: {e}"}
 
 
 def _megakernel_bench(settings) -> dict:
