@@ -39,6 +39,43 @@ def test_paged_matches_brute_force(page_tris):
     )
 
 
+def test_page_schedule_packs_valid_16bit_pairs():
+    """The flat packed page schedule (two 16-bit ids per int32 word, 1-D)
+    unpacks to valid page ids for every block's first `count` entries,
+    with the near-to-far entry order the kernel's occlusion skip relies
+    on (a far page can never come before a reachable nearer one)."""
+    from vrenderer_pathtracer_tpu.accel.pallas_paged import (
+        COLS, _page_schedule_c)
+
+    host = _soup(900, seed=6, extent=40.0)
+    mesh = pack_mesh_paged(host, page_tris=128)
+    n_pages = mesh.paged.nodes8_f.shape[0]
+    o1, d1 = _rays(1024, seed=7)
+    o2, d2 = _aimed_rays(host, 1024, seed=8)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((2048,), 1e6, jnp.float32)
+    block = 8 * COLS
+    nb = 2048 // block
+    o_c = [o[:, k] for k in range(3)]
+    d_c = [d[:, k] for k in range(3)]
+    count, packed = _page_schedule_c(mesh.paged, o_c, d_c, t_max, nb, block)
+    count = np.asarray(count)
+    packed = np.asarray(packed)
+    wpb = packed.size // nb
+    assert packed.ndim == 1 and wpb * nb == packed.size
+    for b in range(nb):
+        words = packed[b * wpb:(b + 1) * wpb]
+        ids = np.empty(2 * wpb, np.int64)
+        ids[0::2] = (words >> 16) & 0xFFFF
+        ids[1::2] = words & 0xFFFF
+        c = int(count[b])
+        assert 0 <= c <= n_pages
+        used = ids[:max(c, 1)]
+        assert (used >= 0).all() and (used < n_pages).all()
+        assert len(np.unique(ids[:c])) == c  # reachable pages are distinct
+
+
 def test_page_structure():
     """Every triangle lands in exactly one page slot; bboxes cover pages."""
     host = _soup(700, seed=9, extent=25.0)
