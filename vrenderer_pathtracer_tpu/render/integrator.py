@@ -355,6 +355,8 @@ def render_pass(
     # (197.5 -> 163.7 ms on the config-3+nm bench) but -10% on the plain
     # textured scene (XLA fuses the un-hoisted version better there) —
     # see docs/PERF.md round 4.
+    # (Extending the hoist to the paged path measured NEUTRAL at config-5
+    # spec — 0.85 vs 0.82-0.85 s/pass — so the gate stays nm-only.)
     pre_tile = (
         settings.traversal in ("pallas", "pallas_interpret")
         and settings.has_mesh and not settings.use_example_sphere
