@@ -133,8 +133,47 @@ def main():
         pallas_fwdbwd_s = group_s[len(group_s) // 2]
         pallas_group_spread = (round(group_s[0] * 1e3, 3),
                                round(group_s[-1] * 1e3, 3))
+        # Device-time cross-check (round-5 addition): wall groups through
+        # the tunnel carry ~±10% relay dispatch variance — round 3 vs 4
+        # "regressed" 3077→2885 Mrays/s on wall while the compiled kernel
+        # was bit-identical (same executable fingerprint) and its device
+        # time matched to the microsecond.  Profiler device events are
+        # dispatch-immune; record them alongside the wall number.
+        try:
+            import collections
+            import glob as _glob
+            import gzip
+            import tempfile
+
+            d = tempfile.mkdtemp()
+            with jax.profiler.trace(d):
+                outs = []
+                for _ in range(8):
+                    outs.append(cornell_loss_grads(
+                        local_scene, settings, cam, tgt, jnp.uint32(frame),
+                        fc, fp))
+                    frame += 1
+                jax.block_until_ready(outs)
+            path = sorted(_glob.glob(
+                f"{d}/plugins/profile/*/*.trace.json.gz"))[-1]
+            with gzip.open(path) as f:
+                tr = json.load(f)
+            agg = collections.defaultdict(float)
+            for e in tr["traceEvents"]:
+                if e.get("ph") == "X":
+                    agg[e["name"]] += e.get("dur", 0)
+            dev_us = max(
+                (v for k, v in agg.items() if "cornell_loss_grads" in k
+                 and not k.startswith(("jit_", "Pjit", "$"))),
+                default=0.0)
+            if dev_us:
+                pallas_device_ms = round(dev_us / 8 / 1e3, 3)
+            else:
+                pallas_device_ms = None
+        except Exception:
+            pallas_device_ms = None
     except Exception:
-        pass
+        pallas_device_ms = None
 
     if pallas_fwdbwd_s is not None:
         mrays_fwdbwd = 2 * rays / pallas_fwdbwd_s / 1e6
@@ -184,6 +223,7 @@ def main():
             "fwdbwd_pallas_ms": (
                 round(pallas_fwdbwd_s * 1e3, 3) if pallas_fwdbwd_s else None),
             "fwdbwd_pallas_ms_group_minmax": pallas_group_spread,
+            "fwdbwd_pallas_device_ms": pallas_device_ms,
             "n_devices": len(jax.devices()),
             "platform": jax.devices()[0].platform,
             "loss": float(loss),

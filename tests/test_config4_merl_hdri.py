@@ -115,3 +115,21 @@ def test_example_sphere_merl_under_hdri(sky_exr, merl_lambert):
     img2, _ = r2.render_frames(3)
     center = np.s_[18:30, 24:40]
     assert img2[center].mean() > img[center].mean()
+
+
+def test_nonfinite_env_texel_cannot_poison_never_miss_paths():
+    """EXR HDR assets may legally carry inf/NaN texels.  Paths that never
+    miss have env weight 0 with a stale env direction; the collapsed
+    one-fetch-per-sample env gather must not turn 0*inf into NaN on them
+    (ADVICE round 4).  Miss pixels legitimately see the texel."""
+    r = Renderer(
+        32, 32,
+        settings=RenderSettings(samples_per_pass=2, bounces=1,
+                                use_example_sphere=True,
+                                radiance_kernel="xla"),
+    )
+    r.load_hdr(np.full((8, 16, 3), np.inf, np.float32))
+    img, depth = r.render_frames(1)
+    hit = np.asarray(depth) > 0.0          # sphere-covered pixels
+    assert hit.sum() > 50
+    assert np.isfinite(img[hit]).all()

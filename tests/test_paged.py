@@ -193,3 +193,29 @@ def test_paged_block_rows_equivalent():
         pp.SMEM_SCHEDULE_BUDGET = old
     np.testing.assert_array_equal(np.asarray(s0), np.asarray(s2))
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t2), rtol=1e-5)
+
+
+def test_paged_unpacked_schedule_fallback():
+    """Meshes beyond PACK16_MAX_PAGES pages fall back to an unpacked
+    32-bit flat schedule instead of asserting (ADVICE round 4): forcing
+    the threshold below the page count must produce identical results
+    through the packed16=False kernel path."""
+    import vrenderer_pathtracer_tpu.accel.pallas_paged as pp
+
+    host = _soup(900, seed=3, extent=40.0)
+    mesh = pack_mesh_paged(host, page_tris=128)
+    assert mesh.paged.nodes8_f.shape[0] > 2
+    o1, d1 = _rays(512, seed=14)
+    o2, d2 = _aimed_rays(host, 512, seed=15)
+    o = jnp.concatenate([o1, o2])
+    d = jnp.concatenate([d1, d2])
+    t_max = jnp.full((1024,), 1e6, jnp.float32)
+    s0, t0 = traverse_paged(mesh, o, d, t_max, interpret=True)
+    old = pp.PACK16_MAX_PAGES
+    pp.PACK16_MAX_PAGES = 2      # force the fallback
+    try:
+        s1, t1 = traverse_paged(mesh, o, d, t_max, interpret=True)
+    finally:
+        pp.PACK16_MAX_PAGES = old
+    np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1), rtol=1e-5)

@@ -49,7 +49,7 @@ BLOCK = ROWS * COLS
 def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
             ox, oy, oz, dx, dy, dz, tmax_ref,
             slot_out, t_out, buf_f, buf_i, buf_u, buf_p, sem, stack,
-            started, vcnt):
+            started, vcnt, *, packed16=True):
     import os
     blk = pl.program_id(0)
     vcnt[0] = 0
@@ -106,7 +106,15 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
     wpb = perm_ref.shape[0] // count_ref.shape[0]
 
     def sched(i):
-        """Page id i of this block's schedule: TWO 16-bit ids per word."""
+        """Page id i of this block's schedule.
+
+        Packed layout: TWO 16-bit ids per word (the default; exact 1-D SMEM
+        sizing).  Meshes beyond 65536 pages fall back to one 32-bit id per
+        word (``packed16=False``) instead of failing — double the SMEM
+        footprint, same semantics.
+        """
+        if not packed16:
+            return perm_ref[blk * wpb + i]
         w = perm_ref[blk * wpb + i // 2]
         return (w >> (16 * (1 - lax.rem(i, 2)))) & 0xFFFF
 
@@ -194,7 +202,7 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
         slot_out[0:1, :] = jnp.zeros_like(slot_out[0:1, :]) + vcnt[0]
 
 
-def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
+def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK, packed16=True):
     """Per-block page lists: conservative interval-frustum culling.
 
     Round-1 streamed EVERY page to EVERY ray block (only a per-lane bbox
@@ -273,8 +281,13 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
     # Pack TWO 16-bit page ids per int32 word: the schedule rides the
     # scalar-prefetch SMEM window, whose ~768KB budget otherwise forces
     # block_rows past the measured optimum at 1080p (docs/PERF.md).
+    # Meshes with more than PACK16_MAX_PAGES pages (~8M+ tris at the
+    # default page size) keep one 32-bit id per word instead of
+    # overflowing the packed ids — a capacity fallback, not a perf path.
     pg = perm.shape[1]
-    assert pg <= 0x10000, f"{pg} pages overflow the 16-bit schedule ids"
+    if not packed16:
+        return count, perm.reshape(-1)
+    assert pg <= PACK16_MAX_PAGES
     if pg % 2:
         perm = jnp.pad(perm, ((0, 0), (0, 1)))
     packed = (perm[:, 0::2] << 16) | perm[:, 1::2]
@@ -282,6 +295,7 @@ def _page_schedule_c(paged, o_c, d_c, t_max, nb, block=BLOCK):
 
 
 SMEM_SCHEDULE_BUDGET = 768 * 1024  # bytes for the prefetched (count, perm)
+PACK16_MAX_PAGES = 0x10000         # beyond: unpacked 32-bit schedule ids
 
 
 def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
@@ -307,20 +321,26 @@ def traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     inside the jit would not be part of the cache key).
     """
     n_pages = mesh.paged.nodes8_f.shape[0]
-    sched_words = -(-n_pages // 2)   # two 16-bit page ids per int32 word
+    # Two 16-bit page ids per int32 word; >PACK16_MAX_PAGES pages fall
+    # back to one 32-bit id per word (_page_schedule_c).  Decided HERE,
+    # un-jitted, so the static flag is always part of the jit cache key.
+    packed16 = n_pages <= PACK16_MAX_PAGES
+    sched_words = -(-n_pages // 2) if packed16 else n_pages
     b = ray_o.shape[0]
     while ((-(-b // (block_rows * COLS))) * sched_words * 4
            > SMEM_SCHEDULE_BUDGET
            and block_rows * COLS < b):  # nb==1: nothing left to merge
         block_rows *= 2
     return _traverse_paged(mesh, ray_o, ray_d, t_max, interpret=interpret,
-                           image_shape=image_shape, block_rows=block_rows)
+                           image_shape=image_shape, block_rows=block_rows,
+                           packed16=packed16)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("interpret", "image_shape", "block_rows"))
+                   static_argnames=("interpret", "image_shape", "block_rows",
+                                    "packed16"))
 def _traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret,
-                    image_shape, block_rows):
+                    image_shape, block_rows, packed16=True):
     from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
         TILE, _tile_remap)
 
@@ -359,7 +379,8 @@ def _traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret,
     def comp(x):
         return x.reshape(nb * block_rows, COLS)
 
-    count, perm = _page_schedule_c(paged, o_c, d_c, t_max, nb, BLOCK)
+    count, perm = _page_schedule_c(paged, o_c, d_c, t_max, nb, BLOCK,
+                                   packed16=packed16)
 
     # index_map signature: (*grid_ids, *scalar_prefetch_refs).
     ray_spec = pl.BlockSpec(
@@ -393,7 +414,7 @@ def _traverse_paged(mesh: MeshData, ray_o, ray_d, t_max, interpret,
     )
 
     slot, t = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, packed16=packed16),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((nb * block_rows, COLS), jnp.int32),

@@ -72,8 +72,13 @@ def fetch_maps(maps, u, v, filter_mode):
         return out
     combined = jnp.concatenate([m for _, m in live], axis=2)
     texc = fetch(combined, u, v)
-    for k, (i, _) in enumerate(live):
-        out[i] = texc[:, 3 * k:3 * k + 3]
+    # Split by each map's OWN channel count (cum-sum of live widths), so a
+    # non-3-channel map (e.g. a scalar roughness map) reads its own lanes
+    # rather than a neighbor's.
+    off = 0
+    for i, m in live:
+        out[i] = texc[:, off:off + m.shape[2]]
+        off += m.shape[2]
     return out
 
 

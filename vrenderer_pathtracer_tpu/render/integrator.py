@@ -311,7 +311,13 @@ def radiance(
         env_fetch = (sample_env_bilinear
                      if settings.texture_filter == "bilinear"
                      else sample_env_nearest)
-        accum = accum + env_w * env_fetch(scene.hdr, env_dir)
+        # Guard the collapsed fetch: paths that never missed carry env_w=0
+        # with env_dir = a stale direction; EXR HDR assets may legally hold
+        # inf/NaN texels, and 0*inf would poison those paths (the
+        # per-bounce form zeroed via where() before accumulating).
+        ever_missed = jnp.any(env_w != 0.0, axis=-1, keepdims=True)
+        accum = accum + jnp.where(
+            ever_missed, env_w * env_fetch(scene.hdr, env_dir), 0.0)
     if settings.use_cornell_box:
         accum = jnp.where(killed[:, None], 0.0, accum)
         depth = jnp.where(killed, 0.0, depth)

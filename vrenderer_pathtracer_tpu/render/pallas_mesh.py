@@ -834,7 +834,12 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
                 d_fac = d_fac * jnp.where(mi[:, None] >= 0.0, fac, 1.0)
             pd = pd * d_fac
         if defer.env:
-            total = total + env_w * env_fetch(scene.hdr, env_dir)
+            # Never-missed paths carry env_w=0 with a stale env_dir; guard
+            # so a non-finite HDR texel (legal in EXR assets) cannot poison
+            # them through 0*inf (same guard as the wavefront integrator).
+            ever_missed = jnp.any(env_w != 0.0, axis=-1, keepdims=True)
+            total = total + jnp.where(
+                ever_missed, env_w * env_fetch(scene.hdr, env_dir), 0.0)
     total = total / spp
     if not defer.emit:
         r, g, bch = field(("rgb",), 3)
