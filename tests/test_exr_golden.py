@@ -243,3 +243,25 @@ def test_y_channel_decode_matches_openexr(exr_tool, tmp_path, comp):
         np.testing.assert_allclose(ours, ref, rtol=8e-3, atol=1e-4)
     else:
         np.testing.assert_array_equal(ours, ref)
+
+
+@pytest.mark.parametrize("comp", [0, 3, 4])
+def test_multipart_reads_first_image_part(exr_tool, tmp_path, comp):
+    """Multipart EXR (version flag 0x1000): the reader selects the first
+    regular-image part and returns its RGB bit-exactly (VERDICT r4 #8 —
+    the reference reads whatever its linked OpenEXR reads).  The dump
+    path of the system tool reads part 0 too, so the comparison target is
+    a single-part file with the same pixel pattern."""
+    mp = str(tmp_path / f"mp{comp}.exr")
+    r = subprocess.run([exr_tool, "writemp", mp, str(comp), "53", "37", "3"],
+                       capture_output=True)
+    if r.returncode != 0:
+        pytest.skip(f"library lacks multipart write: {r.stderr.decode()[:120]}")
+    single = str(tmp_path / f"sp{comp}.exr")
+    subprocess.run([exr_tool, "write", single, str(comp), "53", "37"],
+                   check=True)
+    ref = _dump(exr_tool, single, tmp_path)
+    ours = np.asarray(load_exr(mp))
+    # writemp stores the same pattern as write, through HALF channels (the
+    # rgba 'write' path also stores HALF) — bit-exact match expected.
+    np.testing.assert_array_equal(ours, ref)

@@ -87,3 +87,37 @@ def test_cli_view_headless(capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "▀" in out and "spp" in out
+
+
+def test_mouse_drag_orbits_with_reference_constant():
+    """SGR mouse drags map to the reference's drag semantics
+    (src/NGLSceneMouseControls.cpp): LMB yaw(-diffx*rad/px) /
+    pitch(diffy*rad/px), RMB moveForward(diffY); release ends the drag."""
+    from vrenderer_pathtracer_tpu.view import CELL_PX_X, CELL_PX_Y, TerminalViewer
+
+    v, r, _ = _viewer()
+    ev = TerminalViewer._parse_sgr_mouse("32;10;5M")   # motion, LMB held
+    assert ev == ("mouse", 0, 10, 5, True)
+    assert TerminalViewer._parse_sgr_mouse("0;3;4m") == ("mouse", 0, 3, 4, False)
+    assert TerminalViewer._parse_sgr_mouse("garbage") is None
+
+    yaw0, pitch0 = float(r.camera.yaw), float(r.camera.pitch)
+    v.handle_key(("mouse", 0, 10, 5, True))     # press: anchors, no motion
+    assert float(r.camera.yaw) == yaw0
+    v.handle_key(("mouse", 0, 13, 7, True))     # drag +3 cols, +2 rows
+    s = r.camera.DRAG_RAD_PER_PX
+    np.testing.assert_allclose(float(r.camera.yaw),
+                               yaw0 - 3 * CELL_PX_X * s, rtol=1e-6)
+    np.testing.assert_allclose(float(r.camera.pitch),
+                               pitch0 + 2 * CELL_PX_Y * s, rtol=1e-6)
+    assert r.frame == 1                          # camera edits clear accum
+
+    v.handle_key(("mouse", 0, 13, 7, False))    # release
+    yaw1 = float(r.camera.yaw)
+    v.handle_key(("mouse", 0, 20, 9, True))     # new press: no jump
+    assert float(r.camera.yaw) == yaw1
+
+    z0 = float(r.camera.origin[2])
+    v.handle_key(("mouse", 2, 5, 5, True))      # RMB press
+    v.handle_key(("mouse", 2, 5, 8, True))      # drag down 3 rows
+    assert float(r.camera.origin[2]) != z0      # dollied along view dir

@@ -22,10 +22,14 @@
 #include <ImfChannelList.h>
 #include <ImfFrameBuffer.h>
 #include <ImfHeader.h>
+#include <ImfMultiPartOutputFile.h>
 #include <ImfOutputFile.h>
+#include <ImfOutputPart.h>
+#include <ImfPartType.h>
 #include <ImfRgba.h>
 #include <ImfRgbaFile.h>
 #include <ImfTiledRgbaFile.h>
+#include <string>
 
 #include <cmath>
 #include <cstdint>
@@ -174,6 +178,48 @@ int main(int argc, char** argv) {
       f.writePixels(h);
     } catch (const std::exception& e) {
       fprintf(stderr, "writey failed: %s\n", e.what());
+      return 1;
+    }
+    return 0;
+  }
+  if (!strcmp(argv[1], "writemp")) {
+    // writemp <path> <compression> <w> <h> <nparts>: MULTIPART file of
+    // scanlineimage parts; part 0 carries the standard RGB pattern (what
+    // the repo decoder must return), later parts a shifted pattern.
+    if (argc != 7) return 2;
+    const int comp = atoi(argv[3]), w = atoi(argv[4]), h = atoi(argv[5]);
+    const int np = atoi(argv[6]);
+    try {
+      std::vector<Header> hds;
+      for (int p = 0; p < np; ++p) {
+        Header hd(w, h);
+        hd.compression() = (Compression)comp;
+        hd.channels().insert("R", Channel(HALF));
+        hd.channels().insert("G", Channel(HALF));
+        hd.channels().insert("B", Channel(HALF));
+        hd.setName(p == 0 ? "beauty" : ("aux" + std::to_string(p)));
+        hd.setType(SCANLINEIMAGE);
+        hds.push_back(hd);
+      }
+      MultiPartOutputFile f(argv[2], hds.data(), np);
+      for (int p = 0; p < np; ++p) {
+        std::vector<half> r(w * h), g(w * h), b(w * h);
+        for (int y = 0; y < h; ++y)
+          for (int x = 0; x < w; ++x) {
+            r[y * w + x] = pattern(x, y, w, h, 0) + p;
+            g[y * w + x] = pattern(x, y, w, h, 1) + p;
+            b[y * w + x] = pattern(x, y, w, h, 2) + p;
+          }
+        OutputPart op(f, p);
+        FrameBuffer fb;
+        fb.insert("R", Slice(HALF, (char*)r.data(), 2, 2 * (size_t)w));
+        fb.insert("G", Slice(HALF, (char*)g.data(), 2, 2 * (size_t)w));
+        fb.insert("B", Slice(HALF, (char*)b.data(), 2, 2 * (size_t)w));
+        op.setFrameBuffer(fb);
+        op.writePixels(h);
+      }
+    } catch (const std::exception& e) {
+      fprintf(stderr, "writemp failed: %s\n", e.what());
       return 1;
     }
     return 0;

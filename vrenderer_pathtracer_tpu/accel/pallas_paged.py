@@ -74,6 +74,12 @@ def _kernel(count_ref, perm_ref, nodes8_f, nodes8_i, bbox, tri_pack,
     hit_root = jnp.maximum(tn, 0.0) <= tf
     bound = jnp.where(hit_root, tf * 1.0001 + 1e-3, 0.0)
     t_out[:] = jnp.minimum(tmax_ref[:], bound)
+    # Sky-block early-out (round 5): a block whose every lane misses the
+    # global mesh box (or arrives dead, t_max=0) can skip its whole page
+    # schedule — at config-5 1080p most primary-ray blocks are sky, yet
+    # raster-row frustums list many pages, and the per-page slab gates
+    # alone cost tens of ms/pass.  One vector reduce decides.
+    cnt = jnp.where(jnp.max(t_out[:]) > 0.0, cnt, 0)
 
     def dmas(slot, page):
         return (

@@ -453,3 +453,50 @@ def mesh_hit(scene: Scene, settings: RenderSettings, ray_o, ray_d, prev,
     )
     slot = lax.stop_gradient(slot)
     return shade_mesh_hit(scene, settings, ray_o, ray_d, slot, prev)
+
+
+def mesh_search(scene: Scene, settings: RenderSettings, ray_o, ray_d, t_max,
+                block_rows=None):
+    """Detached mesh traversal only: ``(slot [B] int32, t [B])`` with no
+    attribute shading — the compact-wave split (render/integrator.py,
+    round 5) traverses primaries at full width, compacts on the hit mask,
+    and shades compactly via :func:`shade_mesh_hit`.  Backend dispatch and
+    tile handling match :func:`mesh_hit` (minus the captured-attrs path,
+    which the compact gate excludes)."""
+    img_shape = (None if settings.sort_rays or settings.pre_tiled
+                 else (settings.height, settings.width))
+    rows = {} if block_rows is None else {"block_rows": block_rows}
+    if settings.traversal in ("pallas", "pallas_interpret"):
+        import functools as _ft
+
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import traverse_packets
+
+        if settings.traversal.endswith("interpret"):
+            rows = dict(rows, interpret=True)
+        search = _ft.partial(traverse_packets, image_shape=img_shape, **rows)
+    elif settings.traversal.startswith("pallas_paged"):
+        import functools as _ft
+
+        from vrenderer_pathtracer_tpu.accel.pallas_paged import traverse_paged
+
+        search = _ft.partial(
+            traverse_paged,
+            interpret=settings.traversal.endswith("interpret"),
+            image_shape=img_shape,
+            **rows,
+        )
+    else:
+        search = traverse
+    if settings.sort_rays:
+        import functools as _ft
+
+        from vrenderer_pathtracer_tpu.accel.sorting import sorted_traverse
+
+        search = _ft.partial(sorted_traverse, search)
+    slot, t = search(
+        scene.mesh,
+        lax.stop_gradient(ray_o),
+        lax.stop_gradient(ray_d),
+        lax.stop_gradient(t_max),
+    )
+    return lax.stop_gradient(slot), lax.stop_gradient(t)

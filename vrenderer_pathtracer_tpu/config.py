@@ -96,6 +96,19 @@ class RenderSettings:
     # Same limit image as the reference's cosine estimator, lower variance
     # on glossy MERL tables.  XLA wavefront only (kernels keep cosine).
     brdf_importance_sampling: bool = False
+    # Compact bounce waves (round 5): after the primary bounce, gather the
+    # live lanes (bounce rays that actually hit something) into a dense
+    # array of capacity compact_capacity_frac * B and run the remaining
+    # bounces — shading AND traversal — at that width, scattering radiance /
+    # env contributions back per bounce.  A lax.cond falls back to the
+    # full-width tail when the live count exceeds capacity, so results are
+    # always exact.  Measured motivation: at config-5 spec ~95-98% of
+    # bounce-wave lanes are dead, yet the XLA fusions (72 ms/bounce) and
+    # the paged traversal pay full width (docs/PERF.md round 5).
+    # Resolved from the scene by settings_for_scene (mesh scenes on the
+    # XLA wavefront); "auto" here means off until resolution.
+    compact_waves: bool = False
+    compact_capacity_frac: float = 0.125
     # Texture/env fetch mode: "nearest" is reference parity (integer texel
     # fetch); "bilinear" makes d(pixel)/d(texel) piecewise-linear and the
     # image smooth in uv/direction — use when optimizing textures/env maps.

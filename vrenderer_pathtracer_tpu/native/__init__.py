@@ -92,9 +92,10 @@ _EXR_ERRORS = {
     1: "cannot open file",
     2: "not an EXR (bad magic/version)",
     3: "bad header (missing/invalid channels or dataWindow)",
-    4: "unsupported feature (deep/multipart, compression beyond "
+    4: "unsupported feature (deep data, compression beyond "
        "NONE/RLE/ZIPS/ZIP/PIZ/PXR24/B44/B44A/DWAA/DWAB, UINT channels, "
-       "or no R/G/B/Y channels)",
+       "or no R/G/B/Y channels; multipart files read their first "
+       "regular-image part)",
     5: "truncated or corrupt pixel data",
 }
 

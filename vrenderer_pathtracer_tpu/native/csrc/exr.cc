@@ -479,24 +479,22 @@ extern "C" {
 // (deep/multipart/compression/channels), 5 data corrupt.  Scanline and
 // single-part tiled layouts (ONE_LEVEL and the level-(0,0) plane of
 // MIPMAP/RIPMAP files) are both handled.
-int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
-  Reader r;
-  r.f = std::fopen(path, "rb");
-  if (!r.f) return 1;
-  uint32_t magic, version;
-  if (!r.get(&magic) || !r.get(&version) || magic != kMagic) return 2;
-  // Reject deep (0x800) and multipart (0x1000); the long-name flag (0x400)
-  // only relaxes the attribute-name limit and parses fine; tiled (0x200)
-  // takes the tile path below.
-  if (version & (0x800 | 0x1000)) return 4;
-  const bool tiled = (version & 0x200) != 0;
-
+// One part's header state (single-part files have exactly one; multipart
+// files a sequence, each REQUIRED to carry "type" and "chunkCount" —
+// OpenEXR 2 file-layout spec).
+struct PartHeader {
   std::vector<Channel> channels;
   int32_t dw[4] = {0, 0, 0, 0};
   uint8_t compression = 0;
   uint32_t tile_x = 0, tile_y = 0;
   uint8_t tile_mode = 0;
+  std::string part_type;  // "scanlineimage"/"tiledimage"/"deepscanline"/...
+  int64_t chunk_count = -1;
+};
 
+// Parse one header (attribute list up to the empty terminator name).
+// Returns 0 ok, else the vt_load_exr error code.
+static int parse_part_header(Reader& r, PartHeader* ph) {
   for (;;) {
     std::string name;
     if (!r.get_string(&name)) return 3;
@@ -517,21 +515,89 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
         if (p + 16 > buf.size()) return 3;
         int32_t ptype;
         std::memcpy(&ptype, &buf[p], 4);
-        channels.push_back({cn, ptype});
+        ph->channels.push_back({cn, ptype});
         p += 16;  // type, pLinear+pad, xSampling, ySampling
       }
     } else if (name == "dataWindow" && type == "box2i") {
       if (size != 16) return 3;
-      std::memcpy(dw, buf.data(), 16);
+      std::memcpy(ph->dw, buf.data(), 16);
     } else if (name == "compression" && type == "compression") {
-      compression = buf[0];
+      ph->compression = buf[0];
     } else if (name == "tiles" && type == "tiledesc") {
       if (size != 9) return 3;
-      std::memcpy(&tile_x, &buf[0], 4);
-      std::memcpy(&tile_y, &buf[4], 4);
-      tile_mode = buf[8];
+      std::memcpy(&ph->tile_x, &buf[0], 4);
+      std::memcpy(&ph->tile_y, &buf[4], 4);
+      ph->tile_mode = buf[8];
+    } else if (name == "type" && type == "string") {
+      ph->part_type.assign((const char*)buf.data(), buf.size());
+    } else if (name == "chunkCount" && type == "int") {
+      if (size != 4) return 3;
+      int32_t cc;
+      std::memcpy(&cc, buf.data(), 4);
+      ph->chunk_count = cc;
     }
   }
+  return 0;
+}
+
+int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
+  Reader r;
+  r.f = std::fopen(path, "rb");
+  if (!r.f) return 1;
+  uint32_t magic, version;
+  if (!r.get(&magic) || !r.get(&version) || magic != kMagic) return 2;
+  // Deep single-part (0x800) stays unsupported; MULTIPART (0x1000) files
+  // are read by selecting the first regular-image part (part 0's RGB in
+  // practice — the reference reads whatever its linked OpenEXR reads,
+  // /root/reference/src/NGLScene.cpp:368-401).  The long-name flag
+  // (0x400) only relaxes the attribute-name limit and parses fine;
+  // tiled (0x200 / a "tiledimage" part type) takes the tile path below.
+  const bool multipart = (version & 0x1000) != 0;
+  if (!multipart && (version & 0x800)) return 4;
+
+  std::vector<PartHeader> parts;
+  if (!multipart) {
+    parts.emplace_back();
+    int rc = parse_part_header(r, &parts[0]);
+    if (rc) return rc;
+  } else {
+    for (;;) {
+      // The header list ends with an empty header (a lone 0x00).
+      char c;
+      if (!r.get(&c)) return 3;
+      if (c == 0) break;
+      if (fseek(r.f, -1, SEEK_CUR) != 0) return 3;
+      parts.emplace_back();
+      int rc = parse_part_header(r, &parts.back());
+      if (rc) return rc;
+      if (parts.size() > 256) return 3;
+    }
+    if (parts.empty()) return 3;
+  }
+
+  // Select the first regular-image part; its offset table position needs
+  // every earlier part's chunkCount (required in multipart headers).
+  int sel = -1;
+  int64_t skip_chunks = 0;
+  for (size_t i = 0; i < parts.size(); ++i) {
+    const std::string& t = parts[i].part_type;
+    if (!multipart || t == "scanlineimage" || t == "tiledimage") {
+      sel = (int)i;
+      break;
+    }
+    if (parts[i].chunk_count < 0) return 4;  // cannot skip an unsized part
+    skip_chunks += parts[i].chunk_count;
+  }
+  if (sel < 0) return 4;  // deep-only multipart
+  const PartHeader& P = parts[sel];
+  const std::vector<Channel>& channels = P.channels;
+  const int32_t* dw = P.dw;
+  const uint8_t compression = P.compression;
+  const uint32_t tile_x = P.tile_x, tile_y = P.tile_y;
+  const uint8_t tile_mode = P.tile_mode;
+  const bool tiled =
+      multipart ? P.part_type == "tiledimage" : (version & 0x200) != 0;
+  if (multipart && P.chunk_count < 0) return 3;
 
   const int w = dw[2] - dw[0] + 1;
   const int h = dw[3] - dw[1] + 1;
@@ -604,13 +670,24 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
   };
 
   std::vector<uint8_t> raw, packed;
+  // Multipart: offset tables are stored per part in part order right after
+  // the header list; skip the earlier (e.g. deep) parts' tables, and each
+  // chunk leads with its part number.
+  if (skip_chunks &&
+      fseek(r.f, (long)(8 * skip_chunks), SEEK_CUR) != 0)
+    goto corrupt;
   if (!tiled) {
     const int n_blocks = (h + lines_per_block - 1) / lines_per_block;
+    if (multipart && P.chunk_count != n_blocks) goto corrupt;
     std::vector<uint64_t> offsets(n_blocks);
     if (!r.read(offsets.data(), 8 * (size_t)n_blocks)) goto corrupt;
 
     for (int b = 0; b < n_blocks; ++b) {
       if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
+      if (multipart) {
+        int32_t pnum;
+        if (!r.get(&pnum) || pnum != sel) goto corrupt;
+      }
       int32_t y0, dsize;
       if (!r.get(&y0) || !r.get(&dsize) || dsize < 0) goto corrupt;
       y0 -= dw[1];
@@ -666,11 +743,16 @@ int vt_load_exr(const char* path, float** out_rgb, int* out_w, int* out_h) {
         n_chunks += tx * ty;
       }
     if (n_chunks <= 0 || n_chunks > (int64_t)1 << 24) goto corrupt;
+    if (multipart && P.chunk_count != n_chunks) goto corrupt;
     {
       std::vector<uint64_t> offsets(n_chunks);
       if (!r.read(offsets.data(), 8 * (size_t)n_chunks)) goto corrupt;
       for (int64_t b = 0; b < n_chunks; ++b) {
         if (fseek(r.f, (long)offsets[b], SEEK_SET) != 0) goto corrupt;
+        if (multipart) {
+          int32_t pnum;
+          if (!r.get(&pnum) || pnum != sel) goto corrupt;
+        }
         int32_t tdx, tdy, tlx, tly, dsize;
         if (!r.get(&tdx) || !r.get(&tdy) || !r.get(&tlx) || !r.get(&tly) ||
             !r.get(&dsize) || dsize < 0)

@@ -242,13 +242,14 @@ def radiance(
     env_w = jnp.zeros((n_rays, 3), jnp.float32)
     env_dir = ray_d
 
-    def bounce_step(carry, *, bounce):
+    def bounce_step(carry, *, bounce, hd=None):
         ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir = carry
-        hd = intersect_scene(
-            scene, settings, ray_o, ray_d,
-            alive=None if bounce == 0 else alive,
-            block_rows=(None if bounce == 0
-                        else settings.bounce_block_rows or None))
+        if hd is None:
+            hd = intersect_scene(
+                scene, settings, ray_o, ray_d,
+                alive=None if bounce == 0 else alive,
+                block_rows=(None if bounce == 0
+                            else settings.bounce_block_rows or None))
         miss = alive & ~hd.hit
         live_hit = alive & hd.hit
 
@@ -296,16 +297,169 @@ def radiance(
         return (ray_o, ray_d, mask, accum, depth, live_hit, killed,
                 env_w, env_dir)
 
-    carry = (ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir)
-    for bounce in range(settings.bounces):
-        step = functools.partial(bounce_step, bounce=bounce)
+    def wrap(fn):
         if settings.remat_bounces:
             # Recompute this bounce's intermediates during the backward pass
             # instead of storing them: memory per bounce drops to the carry
             # (jax.checkpoint — the FLOPs-for-HBM trade, SURVEY §7).
-            step = jax.checkpoint(step)
-        carry = step(carry)
-    ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir = carry
+            return jax.checkpoint(fn)
+        return fn
+
+    cap = -(-int(n_rays * settings.compact_capacity_frac) // 1024) * 1024
+    do_compact = (settings.compact_waves and settings.has_mesh
+                  and not settings.use_example_sphere
+                  and not settings.captured_attrs
+                  and 0 < cap < n_rays)
+
+    carry = (ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir)
+    if not do_compact:
+        for bounce in range(settings.bounces):
+            carry = wrap(functools.partial(bounce_step, bounce=bounce))(carry)
+        ray_o, ray_d, mask, accum, depth, alive, killed, env_w, env_dir = carry
+    else:
+        # --- compact shading + bounce tail (round 5) -----------------------
+        # Only the primary TRAVERSAL needs full width; everything after it
+        # only matters for lanes that hit something — 2-5% at config-5 spec
+        # — yet the full-width path pays every shading/RNG/scatter fusion
+        # (72 ms/bounce at 1080p) and the bounce traversals at width B.
+        # Split at the traversal/shading boundary: detached mesh search at
+        # full width, then gather the hit lanes into a dense [cap] array
+        # and run bounce-0 shading AND the whole remaining tail at that
+        # width.  Per-lane arithmetic is identical (same RNG streams via
+        # gathered pixel/sample ids, same shade_mesh_hit recompute), so
+        # results match the full path exactly; a lax.cond falls back to
+        # the full-width chain when the hit count exceeds capacity.
+        # Gathers use mode="fill" (filler index B -> zeros, alive=False)
+        # and scatters mode="drop", so fillers can never alias a lane.
+        from vrenderer_pathtracer_tpu.accel.traverse import (
+            mesh_search, shade_mesh_hit)
+
+        hd_sph = _intersect_sphere_set(scene, ray_o, ray_d)
+        slot0, _t0 = mesh_search(scene, settings, ray_o, ray_d, hd_sph.t)
+        hit_full = hd_sph.hit | (slot0 >= 0)
+
+        def chain_full(op):
+            carry, slot0 = op
+            hd0 = shade_mesh_hit(scene, settings, carry[0], carry[1], slot0,
+                                 hd_sph)
+            c = wrap(functools.partial(bounce_step, bounce=0, hd=hd0))(carry)
+            for b in range(1, settings.bounces):
+                c = wrap(functools.partial(bounce_step, bounce=b))(c)
+            return c[3], c[4], c[6], c[7], c[8]
+
+        def chain_compact(op):
+            (ray_o, ray_d, mask, accum, depth, alive, killed, env_w,
+             env_dir), slot0 = op
+            # Bounce-0 misses stay full-width (cheap where-ops): env
+            # weight/direction capture and the cornell kill.
+            miss0 = ~hit_full
+            if settings.use_cornell_box:
+                killed = killed | miss0
+            elif use_env:
+                env_w = env_w + jnp.where(miss0[:, None], mask, 0.0)
+                env_dir = jnp.where(miss0[:, None], ray_d, env_dir)
+
+            idx = jnp.nonzero(hit_full, size=cap, fill_value=n_rays)[0]
+
+            def g(a, fill=0):
+                return a.at[idx].get(mode="fill", fill_value=fill)
+
+            o_c, d_c, mask_c = g(ray_o), g(ray_d), g(mask)
+            alive_c = g(hit_full, fill=False)
+            pix_c = g(pixel_ids)
+            samp_c = g(sample_ids)
+            slot_c = g(slot0, fill=-1)
+            # Compact order is not raster order: skip the kernels' tile
+            # remap (an order-preserving gather of already-local rays).
+            cset = settings.replace(pre_tiled=True)
+
+            # Contributions accumulate COMPACTLY across the tail (radiance,
+            # env weight/dir, cornell kill — all per-lane) and scatter into
+            # the full-width arrays ONCE at the end: a full-width scatter
+            # costs a [B]-array copy, and the first cut of this tail paid
+            # nine of them per pass (~280 ms at config-5 spec).
+            acc_c = jnp.zeros((cap, 3), jnp.float32)
+            envw_c = jnp.zeros((cap, 3), jnp.float32)
+            envdir_c = d_c
+            kill_c = jnp.zeros((cap,), bool)
+            depth_c = jnp.ones((cap,), jnp.float32)
+
+            def cstep(cc, *, bounce):
+                (o_c, d_c, mask_c, alive_c, acc_c, envw_c, envdir_c,
+                 kill_c, depth_c) = cc
+                if bounce == 0:
+                    # Primary hits were already found at full width; shade
+                    # from the gathered winning slots (sphere prev is an
+                    # exact recompute — same function, same inputs).
+                    prev_c = _intersect_sphere_set(scene, o_c, d_c)
+                    hd = shade_mesh_hit(scene, cset, o_c, d_c, slot_c,
+                                        prev_c)
+                else:
+                    hd = intersect_scene(
+                        scene, cset, o_c, d_c, alive=alive_c,
+                        block_rows=settings.bounce_block_rows or None)
+                miss = alive_c & ~hd.hit
+                live_hit = alive_c & hd.hit
+                if bounce == 0:
+                    d0 = (jnp.linalg.norm(o_c - hd.point, axis=-1)
+                          / settings.depth_scale)
+                    depth_c = jnp.where(live_hit, d0, depth_c)
+                if settings.use_cornell_box:
+                    kill_c = kill_c | miss
+                elif use_env:
+                    envw_c = envw_c + jnp.where(miss[:, None], mask_c, 0.0)
+                    envdir_c = jnp.where(miss[:, None], d_c, envdir_c)
+                acc_c = acc_c + jnp.where(
+                    live_hit[:, None], mask_c * hd.emission, 0.0)
+
+                u_reflect, _ = rng.uniform2(
+                    seed, pix_c, rng.make_stream(frame, samp_c, bounce, 0))
+                u_phi, u_r = rng.uniform2(
+                    seed, pix_c, rng.make_stream(frame, samp_c, bounce, 1))
+                u_b1 = u_b2 = None
+                if brdf_sampler is not None:
+                    u_b1, u_b2 = rng.uniform2(
+                        seed, pix_c, rng.make_stream(frame, samp_c, bounce, 2))
+                new_dir, mult = scatter(
+                    d_c, hd.normal, hd.tangent, hd.color, hd.spec_color,
+                    hd.hit_type, u_reflect, u_phi, u_r, fresnel_coef,
+                    fresnel_pow,
+                    brdf_table=scene.brdf if settings.has_brdf else None,
+                    brdf_sampler=brdf_sampler, u_b1=u_b1, u_b2=u_b2)
+                lh = live_hit[:, None]
+                o_c = jnp.where(lh, hd.point + ORIGIN_OFFSET * hd.normal, o_c)
+                d_c = jnp.where(lh, new_dir, d_c)
+                mask_c = jnp.where(lh, mask_c * mult, mask_c)
+                return (o_c, d_c, mask_c, live_hit, acc_c, envw_c, envdir_c,
+                        kill_c, depth_c)
+
+            cc = (o_c, d_c, mask_c, alive_c, acc_c, envw_c, envdir_c, kill_c,
+                  depth_c)
+            for b in range(settings.bounces):
+                cc = wrap(functools.partial(cstep, bounce=b))(cc)
+            acc_c, envw_c, envdir_c, kill_c, depth_c = cc[4:9]
+
+            if use_env:
+                # Tail lanes' env fetch happens compactly (a [cap]-row
+                # gather instead of widening the full-width env arrays);
+                # the full-width epilogue fetch still covers bounce-0
+                # misses, whose env_w/env_dir are untouched here.
+                env_fetch_c = (sample_env_bilinear
+                               if settings.texture_filter == "bilinear"
+                               else sample_env_nearest)
+                missed_c = jnp.any(envw_c != 0.0, axis=-1, keepdims=True)
+                acc_c = acc_c + jnp.where(
+                    missed_c, envw_c * env_fetch_c(scene.hdr, envdir_c), 0.0)
+            accum = accum.at[idx].add(acc_c, mode="drop")
+            depth = depth.at[idx].set(depth_c, mode="drop")
+            if settings.use_cornell_box:
+                killed = killed.at[jnp.where(kill_c, idx, n_rays)].set(
+                    True, mode="drop")
+            return accum, depth, killed, env_w, env_dir
+
+        accum, depth, killed, env_w, env_dir = jax.lax.cond(
+            jnp.sum(hit_full) <= cap, chain_compact, chain_full,
+            (carry, slot0))
 
     if use_env:
         env_fetch = (sample_env_bilinear

@@ -147,8 +147,17 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
             elif pallas_mesh.supports(scene, probe):
                 # General-scene fused kernel with deferred asset fetches.
                 radiance_kernel = "pallas_mesh"
+    # Compact bounce waves on TPU-resident mesh scenes (round 5): the
+    # XLA-wavefront tail gathers live lanes after the primary bounce and
+    # runs shading + traversal at 1/8 width, with an exact full-width
+    # fallback (render/integrator.py).  The TPU-traversal gate keeps
+    # interpret-mode CPU tests single-width; dedicated tests opt in.
+    compact = settings.compact_waves or (
+        scene.mesh is not None
+        and traversal in ("pallas", "pallas_paged"))
     return settings.replace(
         radiance_kernel=radiance_kernel,
+        compact_waves=compact,
         has_diffuse_map=scene.diffuse_map is not None,
         has_normal_map=scene.normal_map is not None,
         has_specular_map=scene.specular_map is not None,

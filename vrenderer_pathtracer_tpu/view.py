@@ -19,6 +19,13 @@ Key map (reference affordance in parens):
   ; / '           fresnel power -/+        (UI slider)
   q / Esc         quit                     (Escape)
 
+MOUSE drags too (round 5, reference drag parity): the interactive loop
+enables xterm button-event tracking with SGR encoding (CSI ?1002/?1006) —
+LMB drag orbits with the reference's rad-per-pixel constant (terminal
+cells scaled to framebuffer pixels), RMB drag dollies
+(``src/NGLSceneMouseControls.cpp:13-99``).  Terminals without mouse
+support simply never emit the sequences; keys keep working.
+
 Works headless too: ``TerminalViewer.run(max_passes=N, interactive=False)``
 drives the same loop without a tty (used by tests and CI).
 """
@@ -34,6 +41,12 @@ import numpy as np
 # Pixels of simulated mouse drag per orbit keypress.
 ORBIT_PX = 40.0
 DOLLY_STEP = 6.0
+# Window pixels per terminal cell for mouse drags: a cell column is ~8 px
+# of a typical window, a half-block cell row covers two image rows (~16 px).
+# Drag deltas arrive in cells and scale to the reference's per-PIXEL
+# semantics through these.
+CELL_PX_X = 8.0
+CELL_PX_Y = 16.0
 
 
 class TerminalViewer:
@@ -50,6 +63,7 @@ class TerminalViewer:
         self._passes = 0
         self._t0 = time.perf_counter()
         self._last_ms = 0.0
+        self._drag = {}  # mouse button -> last (col, row) while held
 
     # -- display ------------------------------------------------------------
 
@@ -143,6 +157,40 @@ class TerminalViewer:
             r.set_fresnel_power(max(float(r.fresnel_pow) - 0.5, 0.0))
         elif key == "'":
             r.set_fresnel_power(float(r.fresnel_pow) + 0.5)
+        elif isinstance(key, tuple) and key[0] == "mouse":
+            self._handle_mouse(*key[1:])
+
+    def _handle_mouse(self, btn: int, col: int, row: int, pressed: bool):
+        """Reference drag semantics (``src/NGLSceneMouseControls.cpp``):
+        LMB drag -> ``yaw(-diffx*rad_per_px)``, ``pitch(diffy*rad_per_px)``
+        (diffy grows downward, matching the terminal's row direction);
+        RMB drag -> ``moveForward(diffY)`` in window pixels."""
+        r = self.r
+        if not pressed:                      # release ends the drag
+            self._drag.pop(btn, None)
+            return
+        if btn in self._drag:
+            lx, ly = self._drag[btn]
+            diffx = (col - lx) * CELL_PX_X
+            diffy = (row - ly) * CELL_PX_Y
+            if (diffx or diffy) and btn == 0:      # LMB: orbit
+                r.set_camera(r.camera.orbit(-diffx, diffy))
+            elif diffy and btn == 2:               # RMB: dolly
+                r.set_camera(r.camera.move_forward(diffy))
+        self._drag[btn] = (col, row)
+
+    @staticmethod
+    def _parse_sgr_mouse(payload: str):
+        """Decode one SGR mouse report body ``Cb;Cx;Cy`` + final ``M``/``m``
+        into ``("mouse", button, col, row, pressed)`` (None if malformed).
+        Motion events carry bit 32 of Cb; the button id rides bits 0-1."""
+        if not payload or payload[-1] not in "Mm":
+            return None
+        try:
+            cb, cx, cy = (int(v) for v in payload[:-1].split(";"))
+        except ValueError:
+            return None
+        return ("mouse", cb & 3, cx, cy, payload[-1] == "M")
 
     def _read_keys_nonblocking(self):
         """Pending keys from a raw-mode stdin, escape sequences decoded."""
@@ -154,6 +202,17 @@ class TerminalViewer:
                     seq = sys.stdin.read(1)
                     if seq == "[" and select.select([sys.stdin], [], [], 0.01)[0]:
                         code = sys.stdin.read(1)
+                        if code == "<":  # SGR mouse report: Cb;Cx;CyM|m
+                            payload = ""
+                            while select.select([sys.stdin], [], [], 0.01)[0]:
+                                c2 = sys.stdin.read(1)
+                                payload += c2
+                                if c2 in "Mm" or len(payload) > 32:
+                                    break
+                            ev = self._parse_sgr_mouse(payload)
+                            if ev:
+                                keys.append(ev)
+                            continue
                         keys.append({"A": "up", "B": "down", "C": "right",
                                      "D": "left"}.get(code, ""))
                         continue
@@ -197,7 +256,9 @@ class TerminalViewer:
 
         fd = sys.stdin.fileno()
         saved = termios.tcgetattr(fd)
-        self.out.write("\x1b[2J\x1b[?25l")  # clear, hide cursor
+        # Clear, hide cursor, enable xterm button-event mouse tracking with
+        # SGR encoding (drag reports; terminals without support ignore it).
+        self.out.write("\x1b[2J\x1b[?25l\x1b[?1002h\x1b[?1006h")
         try:
             tty.setcbreak(fd)
             while not self.quit:
@@ -206,5 +267,5 @@ class TerminalViewer:
                     break
         finally:
             termios.tcsetattr(fd, termios.TCSADRAIN, saved)
-            self.out.write("\x1b[?25h\x1b[0m\n")  # show cursor
+            self.out.write("\x1b[?1002l\x1b[?1006l\x1b[?25h\x1b[0m\n")
             self.out.flush()
