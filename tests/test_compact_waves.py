@@ -96,3 +96,65 @@ def test_compact_tail_gradients_match(mesh_scene):
     np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
                                rtol=1e-5, atol=1e-7)
     assert float(jnp.abs(g1).sum()) > 0.0
+
+
+def test_compact_ladder_engages_mid_chain(mesh_scene):
+    """A view-filling mesh exceeds capacity at bounce 0 but its convex
+    surface kills most bounce-1 rays — the ladder must compact at a later
+    bounce and still match the full-width render."""
+    base = settings_for_scene(mesh_scene, RenderSettings(
+        width=64, height=64, samples_per_pass=2, bounces=3,
+        use_cornell_box=False))
+    cam = Camera.default()._replace(
+        origin=jnp.asarray([0.0, 0.0, 26.0], jnp.float32))
+    ro, rd = generate_rays(cam, 64, 64)
+    ids = pixel_ids(64, 64)
+
+    def render(settings):
+        return render_pass(mesh_scene, settings, ro, rd, ids, jnp.uint32(1),
+                           jnp.float32(0.1), jnp.float32(3.0))
+
+    img0, _ = render(base)
+    # Capacity 25%: primary hits (~50% of pixels) overflow it; bounce-1
+    # live lanes (escaping cosine rays) fit.
+    img1, _ = render(base.replace(compact_waves=True,
+                                  compact_capacity_frac=0.25))
+    assert float(jnp.abs(img0).mean()) > 1e-3
+    diff = np.abs(np.asarray(img0) - np.asarray(img1))
+    # Outlier-tolerant: fp-association slot flips on silhouette pixels.
+    assert (diff.max(axis=-1) > 1e-5).mean() < 0.02
+
+
+def test_renderer_forces_compact_after_measured_first_pass(tmp_path):
+    """Adaptive static specialization: after pass 1 the Renderer measures
+    the (pass-invariant) primary hit count and hard-wires the compact
+    chain; accumulation stays consistent with a never-compacted renderer,
+    and any camera change reverts to the safe cond mode."""
+    from vrenderer_pathtracer_tpu import Renderer, RenderSettings
+
+    p = tmp_path / "s.obj"
+    write_uv_sphere(str(p), radius=10.0, n_theta=16, n_phi=16)
+    hdr = np.full((8, 16, 3), 0.5, np.float32)
+
+    def make(compact):
+        r = Renderer(32, 32, settings=RenderSettings(
+            samples_per_pass=2, bounces=2, compact_waves=compact))
+        r.load_hdr(hdr)
+        r.load_mesh(str(p))
+        return r
+
+    r = make(True)
+    assert r.settings.compact_mode == "cond"
+    img1, _ = r.render_frames(1)
+    assert r.settings.compact_mode == "forced"   # ~3% hit rate fits B/8
+    img3, _ = r.render_frames(2)                 # two passes in forced mode
+
+    r0 = make(False)
+    ref3 = None
+    for _ in range(3):
+        ref3 = r0.render_frames(1)[0]
+    np.testing.assert_allclose(np.asarray(img3), np.asarray(ref3),
+                               rtol=1e-5, atol=1e-5)
+
+    r.set_camera(r.camera.orbit(30.0, 0.0))      # camera edit -> cond
+    assert r.settings.compact_mode == "cond"

@@ -111,7 +111,15 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
     # tile, extracted with dynamic lane rotates — ~+10-20% visit cost for
     # an 8x higher single-level ceiling; accessors dispatch on lane width
     # in pallas_common.make_node_boxes_fn/make_leaf_blk_fn).
-    n8f, n8i, n8ax, _ = collapse_bvh8(bvh.nodes_f, bvh.nodes_i)
+    # SAH-DP-optimal wide grouping (round 5, wide.py _sah_wide_forest):
+    # -15% node visits and +10% device throughput over the greedy
+    # largest-area expansion on BOTH coherence regimes (measured,
+    # docs/PERF.md round 5); the level-vectorized DP also builds faster
+    # than greedy.  VPT_WIDE_COLLAPSE=greedy keeps the old grouping.
+    import os as _os
+    n8f, n8i, n8ax, _ = collapse_bvh8(
+        bvh.nodes_f, bvh.nodes_i,
+        mode=_os.environ.get("VPT_WIDE_COLLAPSE", "sah"))
     n8i, tri_pack, tri_aux_pack, tri_nrm_pack = build_leaf_packs(
         n8i, v0, v1 - v0, v2 - v0,
         corners(mesh.uvs).reshape(-1, 6),

@@ -62,7 +62,174 @@ def _area(lo, hi):
     return d[0] * d[1] + d[1] * d[2] + d[2] * d[0]
 
 
-def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
+def _sah_wide_forest(nodes_f, nodes_i, c_node=1.0, c_leaf=0.25):
+    """SAH-optimal 8-wide grouping (Ylitie et al. 2017 style DP).
+
+    For every binary node ``b`` and slot budget ``i`` in 1..8, compute the
+    minimum expected traversal cost of representing subtree(b) as a forest
+    of at most ``i`` wide-node child slots:
+
+      CC(leaf entity, i)  = A(leaf) * c_leaf            (one slot)
+      D(b, j)             = min_k CC(left, k) + CC(right, j-k)
+      CC(inner b, 1)      = A(b) * c_node + D(b, 8)     (close: a wide node)
+      CC(inner b, i > 1)  = min(CC(b, 1), D(b, i))
+
+    ``c_node`` is the cost of one block-synchronous wide-node visit,
+    ``c_leaf`` one vector leaf-block test (~157 of ~633 ns measured,
+    docs/PERF.md round 3; MAX_LEAF=8 means every leaf is one block).  The
+    greedy largest-area expansion this replaces is the same cost model
+    optimized locally; the DP is globally optimal for it.
+
+    Returns ``slots_of[b]`` — for each binary node that becomes a wide
+    node, its list of (lo, hi, ref, cnt) child slots — keyed by binary id.
+    """
+    m = nodes_i.shape[0]
+    # Child entities per binary node: (lo, hi, ref, cnt) with cnt>0 leaf.
+    ch = [[], []]
+    area_b = np.empty(m, np.float64)
+    for b in range(m):
+        f = nodes_f[b]
+        lo = np.minimum(f[0:3], f[6:9])
+        hi = np.maximum(f[3:6], f[9:12])
+        # An empty child carries an inverted box; union with the live one.
+        if nodes_i[b, 1] < 0:
+            lo, hi = f[6:9], f[9:12]
+        elif nodes_i[b, 3] < 0:
+            lo, hi = f[0:3], f[3:6]
+        area_b[b] = _area(lo, hi)
+
+    # Bottom-up DP, VECTORIZED BY TREE LEVEL (children have larger ids
+    # than parents — emission order — so levels computed in one reverse
+    # pass; all nodes of a level are independent).  The per-node Python
+    # version cost ~2.4 s at 28.5k tris; this runs in ~tens of ms.
+    cc = np.full((m, 9), np.inf)      # cc[b, i] for inner subtree b
+    dd = np.full((m, 9), np.inf)
+    split_k = np.zeros((m, 9), np.int8)
+
+    level = np.zeros(m, np.int32)
+    for b in range(m - 1, -1, -1):
+        lv = 0
+        if nodes_i[b, 1] == 0:
+            lv = max(lv, level[nodes_i[b, 0]] + 1)
+        if nodes_i[b, 3] == 0:
+            lv = max(lv, level[nodes_i[b, 2]] + 1)
+        level[b] = lv
+
+    # Per-child leaf costs (cnt > 0): area * c_leaf (MAX_LEAF=8: 1 block).
+    refs = nodes_i[:, [0, 2]].astype(np.int64)
+    cnts = nodes_i[:, [1, 3]]
+    lo01 = np.stack([nodes_f[:, 0:3], nodes_f[:, 6:9]], axis=1)
+    hi01 = np.stack([nodes_f[:, 3:6], nodes_f[:, 9:12]], axis=1)
+    d01 = np.maximum(hi01 - lo01, 0.0).astype(np.float64)
+    area01 = (d01[..., 0] * d01[..., 1] + d01[..., 1] * d01[..., 2]
+              + d01[..., 2] * d01[..., 0])                   # [m, 2]
+    for lv in range(int(level.max()) + 1 if m else 0):
+        ids = np.nonzero(level == lv)[0]
+        if ids.size == 0:
+            continue
+        # Child cost tables [n, 2, 9]: leaf children broadcast their leaf
+        # cost; inner children read cc[ref] (already final: deeper level).
+        ch = np.empty((ids.size, 2, 9))
+        for s in range(2):
+            is_leaf = cnts[ids, s] > 0
+            ch[:, s, :] = np.where(
+                is_leaf[:, None], (area01[ids, s] * c_leaf)[:, None],
+                cc[refs[ids, s] * (cnts[ids, s] == 0)])
+        have0 = cnts[ids, 0] >= 0
+        have1 = cnts[ids, 1] >= 0
+        both = have0 & have1
+        single_side = np.where(have0, 0, 1)
+        for j in range(2, 9):
+            ks = np.arange(1, j)
+            vals = ch[:, 0, ks] + ch[:, 1, j - ks]          # [n, j-1]
+            k = np.argmin(vals, axis=1)
+            dd[ids, j] = np.where(both, vals[np.arange(ids.size), k],
+                                  ch[np.arange(ids.size), single_side, j])
+            split_k[ids, j] = np.where(both, k + 1, 0)
+        dd[ids, 1] = np.where(both, np.inf,
+                              ch[np.arange(ids.size), single_side, 1])
+        split_k[ids, 1] = 0
+        close = area_b[ids] * c_node + dd[ids, 8]
+        cc[ids, 1] = close
+        for i in range(2, 9):
+            cc[ids, i] = np.minimum(close, dd[ids, i])
+
+    # Reconstruction: collect the slots of each wide node.
+    def collect(b, budget, out):
+        """Slots for subtree(b) under ``budget`` (distribute or close)."""
+        if budget == 1 or cc[b, 1] <= dd[b, budget]:
+            # Close: b is ONE wide-node slot (parent records an inner ref).
+            out.append(("inner", b))
+            return
+        _distribute(b, budget, out)
+
+    def _distribute(b, budget, out):
+        have0 = nodes_i[b, 1] >= 0
+        have1 = nodes_i[b, 3] >= 0
+        k = int(split_k[b, budget])
+        sides = ((0, k), (1, budget - k)) if (have0 and have1) else \
+            (((0 if have0 else 1), budget),)
+        for side, bud in sides:
+            ref = int(nodes_i[b, 2 * side])
+            cnt = int(nodes_i[b, 2 * side + 1])
+            f = nodes_f[b]
+            lo, hi = (f[0:3], f[3:6]) if side == 0 else (f[6:9], f[9:12])
+            if cnt > 0:
+                out.append(("leaf", (lo, hi, ref, cnt)))
+            else:
+                sub = []
+                collect(ref, bud, sub)
+                # Tag inner slots with the box stored in THEIR parent when
+                # they close exactly here.
+                for kind, val in sub:
+                    if kind == "inner" and val == ref:
+                        out.append(("inner_box", (lo, hi, ref)))
+                    else:
+                        out.append((kind, val))
+
+    slots_of = {}
+    boxes_of_inner = {}
+
+    def box_of(b):
+        """Box of binary node b as stored in its parent (fallback: union
+        of its children boxes)."""
+        if b in boxes_of_inner:
+            return boxes_of_inner[b]
+        f = nodes_f[b]
+        lo = np.minimum(f[0:3], f[6:9])
+        hi = np.maximum(f[3:6], f[9:12])
+        if nodes_i[b, 1] < 0:
+            lo, hi = f[6:9], f[9:12]
+        elif nodes_i[b, 3] < 0:
+            lo, hi = f[0:3], f[3:6]
+        return lo, hi
+
+    work = [0]
+    seen = {0}
+    while work:
+        b = work.pop()
+        out = []
+        _distribute(b, 8, out)
+        slots = []
+        for kind, val in out:
+            if kind == "leaf":
+                slots.append(val)
+            else:
+                if kind == "inner_box":
+                    lo, hi, ref = val
+                    boxes_of_inner[ref] = (lo, hi)
+                else:
+                    ref = val
+                    lo, hi = box_of(ref)
+                slots.append((lo, hi, int(ref), 0))
+                if ref not in seen:
+                    seen.add(ref)
+                    work.append(int(ref))
+        slots_of[b] = slots
+    return slots_of
+
+
+def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray, mode="greedy"):
     """Collapse a binary SBVH into 8-wide nodes.
 
     ``nodes_f``: [M,12] two child AABBs (lo0,hi0,lo1,hi1) per binary node.
@@ -70,9 +237,12 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
 
     Returns ``(nodes8_f [N,48], nodes8_i [N,16], nodes8_ax [N], max_depth)``.
     Child boxes are stored as (lo3, hi3) per slot; empty slots carry an
-    inverted box (cosmetic only — exclusion is by count, see module doc).  Greedy collapse: starting from a binary node's two
-    children, repeatedly expand the largest-area inner child until eight
-    slots are filled or only leaves remain.
+    inverted box (cosmetic only — exclusion is by count, see module doc).
+
+    ``mode``: "greedy" — starting from a binary node's two children,
+    repeatedly expand the largest-area inner child until eight slots are
+    filled or only leaves remain; "sah" — the globally SAH-optimal DP
+    grouping (:func:`_sah_wide_forest`).
     """
     nodes_f = np.asarray(nodes_f, np.float32)
     nodes_i = np.asarray(nodes_i, np.int64)
@@ -88,43 +258,67 @@ def collapse_bvh8(nodes_f: np.ndarray, nodes_i: np.ndarray):
             out.append((f[6:9], f[9:12], int(c1), int(n1)))
         return out
 
-    wide_children = []   # per wide node: list of (lo, hi, ref, count)
-    wide_of_bin = {}     # binary node id -> wide node id
-    order = [0]
-    wide_of_bin[0] = 0
-    wide_children.append(None)
-    depth_of = {0: 1}
-    max_depth = 1
-    while order:
-        b = order.pop()
-        w = wide_of_bin[b]
-        slots = bin_children(b)
-        # Greedy: expand the largest-area inner child while room remains.
-        while len(slots) < 8:
-            best, best_a = -1, -1.0
-            for i, (lo, hi, ref, cnt) in enumerate(slots):
+    if mode == "sah":
+        sah_slots = _sah_wide_forest(nodes_f, nodes_i)
+        # Emit wide nodes in DFS order with the same structures greedy uses.
+        wide_children = []
+        wide_of_bin = {}
+        order = [0]
+        wide_of_bin[0] = 0
+        wide_children.append(None)
+        depth_of = {0: 1}
+        max_depth = 1
+        while order:
+            b = order.pop()
+            w = wide_of_bin[b]
+            slots = sah_slots[b]
+            for lo, hi, ref, cnt in slots:
                 if cnt == 0:
-                    a = _area(lo, hi)
-                    if a > best_a:
-                        best, best_a = i, a
-            if best < 0:
-                break
-            lo, hi, ref, cnt = slots.pop(best)
-            sub = bin_children(ref)
-            if len(slots) + len(sub) > 8:
-                slots.append((lo, hi, ref, cnt))
-                break
-            slots.extend(sub)
-        # Recurse into remaining inner children.
-        for lo, hi, ref, cnt in slots:
-            if cnt == 0:
-                wid = len(wide_children)
-                wide_of_bin[ref] = wid
-                wide_children.append(None)
-                depth_of[wid] = depth_of[w] + 1
-                max_depth = max(max_depth, depth_of[wid])
-                order.append(ref)
-        wide_children[w] = slots
+                    wid = len(wide_children)
+                    wide_of_bin[ref] = wid
+                    wide_children.append(None)
+                    depth_of[wid] = depth_of[w] + 1
+                    max_depth = max(max_depth, depth_of[wid])
+                    order.append(ref)
+            wide_children[w] = slots
+    else:
+        wide_children = []   # per wide node: list of (lo, hi, ref, count)
+        wide_of_bin = {}     # binary node id -> wide node id
+        order = [0]
+        wide_of_bin[0] = 0
+        wide_children.append(None)
+        depth_of = {0: 1}
+        max_depth = 1
+        while order:
+            b = order.pop()
+            w = wide_of_bin[b]
+            slots = bin_children(b)
+            # Greedy: expand the largest-area inner child while room remains.
+            while len(slots) < 8:
+                best, best_a = -1, -1.0
+                for i, (lo, hi, ref, cnt) in enumerate(slots):
+                    if cnt == 0:
+                        a = _area(lo, hi)
+                        if a > best_a:
+                            best, best_a = i, a
+                if best < 0:
+                    break
+                lo, hi, ref, cnt = slots.pop(best)
+                sub = bin_children(ref)
+                if len(slots) + len(sub) > 8:
+                    slots.append((lo, hi, ref, cnt))
+                    break
+                slots.extend(sub)
+            # Recurse into remaining inner children.
+            for lo, hi, ref, cnt in slots:
+                if cnt == 0:
+                    wid = len(wide_children)
+                    wide_of_bin[ref] = wid
+                    wide_children.append(None)
+                    depth_of[wid] = depth_of[w] + 1
+                    max_depth = max(max_depth, depth_of[wid])
+                    order.append(ref)
+            wide_children[w] = slots
 
     n = len(wide_children)
     # Box layout [n*8, 8]: row w*8+c = child c's (lo3, hi3, pad2).  The

@@ -109,6 +109,14 @@ class RenderSettings:
     # XLA wavefront); "auto" here means off until resolution.
     compact_waves: bool = False
     compact_capacity_frac: float = 0.125
+    # "cond": runtime lax.cond picks compact vs full per pass (always
+    # exact; costs ~60 ms/pass of branch-operand copies at config-5
+    # scale).  "forced": the compact chain is hard-wired — set by the
+    # Renderer once a pass has MEASURED that the camera's primary hit
+    # count fits capacity (the hit set is constant across progressive
+    # passes: same camera, fixed 0.25 sub-pixel jitter), reverted on any
+    # camera/scene change.
+    compact_mode: str = "cond"
     # Texture/env fetch mode: "nearest" is reference parity (integer texel
     # fetch); "bilinear" makes d(pixel)/d(texel) piecewise-linear and the
     # image smooth in uv/direction — use when optimizing textures/env maps.

@@ -9,11 +9,14 @@
 // wide.py as the equivalence oracle (tests/test_wide.py).
 
 #include <algorithm>
+#include <array>
+#include <functional>
 #include <tuple>
 #include <cmath>
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <string>
 #include <vector>
 
 #include "math3.h"
@@ -171,13 +174,80 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
   bb.emit(ids, 0, nsb);
   const int n_bin = (int)(bb.nodes_i.size() / 4);
 
-  // ---- greedy 8-wide collapse (wide.py collapse_bvh8) ----
+  // ---- 8-wide collapse ----
+  // Default: SAH-DP-optimal grouping (wide.py _sah_wide_forest — measured
+  // -15% node visits / +10% device throughput vs greedy on both coherence
+  // regimes, docs/PERF.md round 5).  VPT_WIDE_COLLAPSE=greedy keeps the
+  // original largest-area expansion.
   struct WideNode {
     WideSlot slots[8];
     int n = 0;
     int ax = 0;
     int lp = 0;
   };
+  const char* collapse_env = std::getenv("VPT_WIDE_COLLAPSE");
+  const bool use_sah = !(collapse_env && std::string(collapse_env) == "greedy");
+  // DP tables: cc[b][i] = min cost of subtree b as a forest of <= i wide
+  // child slots; dd[b][j] = best two-way split of budget j; split[b][j]
+  // the winning left budget.
+  std::vector<std::array<double, 9>> cc, dd;
+  std::vector<std::array<signed char, 9>> split;
+  if (use_sah) {
+    const double C_NODE = 1.0, C_LEAF = 0.25, INF = 1e300;
+    cc.resize(n_bin);
+    dd.resize(n_bin);
+    split.resize(n_bin);
+    auto side_area = [&](int b, int side) {
+      const float* f = bb.nodes_f.data() + 12 * b + 6 * side;
+      double dx = std::max(0.f, f[3] - f[0]);
+      double dy = std::max(0.f, f[4] - f[1]);
+      double dz = std::max(0.f, f[5] - f[2]);
+      return dx * dy + dy * dz + dz * dx;
+    };
+    for (int b = n_bin - 1; b >= 0; --b) {  // children have larger ids
+      double c0[9], c1[9];
+      auto fill = [&](int side, double* out) -> bool {
+        int cnt = bb.nodes_i[4 * b + 2 * side + 1];
+        if (cnt < 0) return false;
+        if (cnt > 0) {
+          double c = side_area(b, side) * C_LEAF;
+          for (int i = 0; i < 9; ++i) out[i] = c;
+        } else {
+          int ref = bb.nodes_i[4 * b + 2 * side];
+          for (int i = 0; i < 9; ++i) out[i] = cc[ref][i];
+        }
+        return true;
+      };
+      bool h0 = fill(0, c0), h1 = fill(1, c1);
+      for (int j = 0; j <= 8; ++j) {
+        dd[b][j] = INF;
+        split[b][j] = 0;
+      }
+      if (h0 && h1) {
+        for (int j = 2; j <= 8; ++j)
+          for (int k = 1; k < j; ++k) {
+            double v = c0[k] + c1[j - k];
+            if (v < dd[b][j]) {
+              dd[b][j] = v;
+              split[b][j] = (signed char)k;
+            }
+          }
+      } else {
+        const double* c = h0 ? c0 : c1;
+        for (int j = 1; j <= 8; ++j) dd[b][j] = c[j];
+      }
+      Box un;
+      for (int side = 0; side < 2; ++side)
+        if (bb.nodes_i[4 * b + 2 * side + 1] >= 0) {
+          const float* f = bb.nodes_f.data() + 12 * b + 6 * side;
+          un.add(V3{f[0], f[1], f[2]});
+          un.add(V3{f[3], f[4], f[5]});
+        }
+      double close = un.area() * C_NODE + dd[b][8];
+      cc[b][1] = close;
+      for (int i = 2; i <= 8; ++i) cc[b][i] = std::min(close, dd[b][i]);
+    }
+  }
   std::vector<WideNode> wide;
   std::vector<int> wide_of_bin(n_bin, -1);
   std::vector<int> depth_of;
@@ -197,6 +267,42 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
       }
       return k;
     };
+    // SAH reconstruction: slots of a closed node = its budget-8 split tree.
+    std::function<void(int, int, std::vector<WideSlot>&)> distribute =
+        [&](int b, int budget, std::vector<WideSlot>& out) {
+          bool h0 = bb.nodes_i[4 * b + 1] >= 0;
+          bool h1 = bb.nodes_i[4 * b + 3] >= 0;
+          int k = split[b][budget];
+          int sides[2][2] = {{0, budget}, {-1, 0}};
+          if (h0 && h1) {
+            sides[0][0] = 0;
+            sides[0][1] = k;
+            sides[1][0] = 1;
+            sides[1][1] = budget - k;
+          } else if (!h0) {
+            sides[0][0] = 1;
+          }
+          for (int si = 0; si < 2; ++si) {
+            int side = sides[si][0], bud = sides[si][1];
+            if (side < 0) continue;
+            int cnt = bb.nodes_i[4 * b + 2 * side + 1];
+            int ref = bb.nodes_i[4 * b + 2 * side];
+            const float* f = bb.nodes_f.data() + 12 * b + 6 * side;
+            WideSlot s;
+            s.box.lo = V3{f[0], f[1], f[2]};
+            s.box.hi = V3{f[3], f[4], f[5]};
+            s.ref = ref;
+            if (cnt > 0) {
+              s.cnt = cnt;
+              out.push_back(s);
+            } else if (bud == 1 || cc[ref][1] <= dd[ref][bud]) {
+              s.cnt = 0;  // close: ref becomes a wide node of its own
+              out.push_back(s);
+            } else {
+              distribute(ref, bud, out);
+            }
+          }
+        };
     std::vector<int> order{0};
     wide.emplace_back();
     depth_of.push_back(1);
@@ -206,26 +312,28 @@ int vt_build_dense_page(const float* v0, const float* e1, const float* e2,
       order.pop_back();
       int w = wide_of_bin[b];
       std::vector<WideSlot> slots;
-      {
+      if (use_sah) {
+        distribute(b, 8, slots);
+      } else {
         WideSlot two[2];
         int k = bin_children(b, two);
         slots.assign(two, two + k);
-      }
-      for (;;) {
-        if ((int)slots.size() >= 8) break;
-        int best = -1;
-        float best_a = -1.f;
-        for (size_t i = 0; i < slots.size(); ++i)
-          if (slots[i].cnt == 0 && slots[i].box.area() > best_a) {
-            best = (int)i;
-            best_a = slots[i].box.area();
-          }
-        if (best < 0) break;
-        WideSlot two[2];
-        int k = bin_children(slots[best].ref, two);
-        if ((int)slots.size() - 1 + k > 8) break;
-        slots.erase(slots.begin() + best);
-        slots.insert(slots.end(), two, two + k);
+        for (;;) {
+          if ((int)slots.size() >= 8) break;
+          int best = -1;
+          float best_a = -1.f;
+          for (size_t i = 0; i < slots.size(); ++i)
+            if (slots[i].cnt == 0 && slots[i].box.area() > best_a) {
+              best = (int)i;
+              best_a = slots[i].box.area();
+            }
+          if (best < 0) break;
+          WideSlot two2[2];
+          int k2 = bin_children(slots[best].ref, two2);
+          if ((int)slots.size() - 1 + k2 > 8) break;
+          slots.erase(slots.begin() + best);
+          slots.insert(slots.end(), two2, two2 + k2);
+        }
       }
       // Sort children along the widest union axis.
       Box un;

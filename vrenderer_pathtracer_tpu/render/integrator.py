@@ -338,37 +338,34 @@ def radiance(
         slot0, _t0 = mesh_search(scene, settings, ray_o, ray_d, hd_sph.t)
         hit_full = hd_sph.hit | (slot0 >= 0)
 
-        def chain_full(op):
-            carry, slot0 = op
-            hd0 = shade_mesh_hit(scene, settings, carry[0], carry[1], slot0,
-                                 hd_sph)
-            c = wrap(functools.partial(bounce_step, bounce=0, hd=hd0))(carry)
-            for b in range(1, settings.bounces):
-                c = wrap(functools.partial(bounce_step, bounce=b))(c)
-            return c[3], c[4], c[6], c[7], c[8]
-
-        def chain_compact(op):
+        def chain_compact(op, start=0):
+            """Run bounces ``start..bounces-1`` at compact width.  At
+            start=0 the mesh slots are already searched (full width) and
+            bounce 0 shades from them; at start>=1 the live set is the
+            carry's ``alive`` and depth is already final."""
             (ray_o, ray_d, mask, accum, depth, alive, killed, env_w,
              env_dir), slot0 = op
-            # Bounce-0 misses stay full-width (cheap where-ops): env
-            # weight/direction capture and the cornell kill.
-            miss0 = ~hit_full
-            if settings.use_cornell_box:
-                killed = killed | miss0
-            elif use_env:
-                env_w = env_w + jnp.where(miss0[:, None], mask, 0.0)
-                env_dir = jnp.where(miss0[:, None], ray_d, env_dir)
+            sel = hit_full if start == 0 else alive
+            if start == 0:
+                # Bounce-0 misses stay full-width (cheap where-ops): env
+                # weight/direction capture and the cornell kill.
+                miss0 = ~hit_full
+                if settings.use_cornell_box:
+                    killed = killed | miss0
+                elif use_env:
+                    env_w = env_w + jnp.where(miss0[:, None], mask, 0.0)
+                    env_dir = jnp.where(miss0[:, None], ray_d, env_dir)
 
-            idx = jnp.nonzero(hit_full, size=cap, fill_value=n_rays)[0]
+            idx = jnp.nonzero(sel, size=cap, fill_value=n_rays)[0]
 
             def g(a, fill=0):
                 return a.at[idx].get(mode="fill", fill_value=fill)
 
             o_c, d_c, mask_c = g(ray_o), g(ray_d), g(mask)
-            alive_c = g(hit_full, fill=False)
+            alive_c = g(sel, fill=False)
             pix_c = g(pixel_ids)
             samp_c = g(sample_ids)
-            slot_c = g(slot0, fill=-1)
+            slot_c = g(slot0, fill=-1) if start == 0 else None
             # Compact order is not raster order: skip the kernels' tile
             # remap (an order-preserving gather of already-local rays).
             cset = settings.replace(pre_tiled=True)
@@ -435,7 +432,7 @@ def radiance(
 
             cc = (o_c, d_c, mask_c, alive_c, acc_c, envw_c, envdir_c, kill_c,
                   depth_c)
-            for b in range(settings.bounces):
+            for b in range(start, settings.bounces):
                 cc = wrap(functools.partial(cstep, bounce=b))(cc)
             acc_c, envw_c, envdir_c, kill_c, depth_c = cc[4:9]
 
@@ -451,15 +448,55 @@ def radiance(
                 acc_c = acc_c + jnp.where(
                     missed_c, envw_c * env_fetch_c(scene.hdr, envdir_c), 0.0)
             accum = accum.at[idx].add(acc_c, mode="drop")
-            depth = depth.at[idx].set(depth_c, mode="drop")
+            if start == 0:
+                depth = depth.at[idx].set(depth_c, mode="drop")
             if settings.use_cornell_box:
                 killed = killed.at[jnp.where(kill_c, idx, n_rays)].set(
                     True, mode="drop")
             return accum, depth, killed, env_w, env_dir
 
-        accum, depth, killed, env_w, env_dir = jax.lax.cond(
-            jnp.sum(hit_full) <= cap, chain_compact, chain_full,
-            (carry, slot0))
+        def run_from(carry, b):
+            """Compact-ladder dispatch: at each bounce boundary, compact
+            the moment the live count fits ``cap`` (a scene whose primary
+            hit rate exceeds capacity — e.g. a view-filling mesh — still
+            compacts at the first bounce where enough paths have died);
+            otherwise run this bounce full-width and try again."""
+            if b == settings.bounces:
+                return carry[3], carry[4], carry[6], carry[7], carry[8]
+            if b == 0:
+                def full0(op):
+                    c, s0 = op
+                    hd0 = shade_mesh_hit(scene, settings, c[0], c[1], s0,
+                                         hd_sph)
+                    c = wrap(functools.partial(
+                        bounce_step, bounce=0, hd=hd0))(c)
+                    return run_from(c, 1)
+
+                if settings.compact_mode == "forced":
+                    # Measured static specialization: the cond fallback
+                    # costs ~60 ms/pass at config-5 spec (branch-operand
+                    # copies at ~5 GB/s effective), so once the renderer
+                    # has MEASURED that this camera's primary hit count
+                    # fits capacity — the hit set is exactly constant
+                    # across progressive passes (fixed jitter) — it
+                    # recompiles with the compact chain hard-wired
+                    # (render/renderer.py adaptive switch).
+                    return chain_compact((carry, slot0), start=0)
+                return jax.lax.cond(
+                    jnp.sum(hit_full) <= cap,
+                    functools.partial(chain_compact, start=0),
+                    full0, (carry, slot0))
+
+            def fullb(op, b=b):
+                c = wrap(functools.partial(bounce_step, bounce=b))(op[0])
+                return run_from(c, b + 1)
+
+            return jax.lax.cond(
+                jnp.sum(carry[5]) <= cap,
+                functools.partial(chain_compact, start=b),
+                fullb, (carry, slot0))
+
+        accum, depth, killed, env_w, env_dir = run_from(carry, 0)
 
     if use_env:
         env_fetch = (sample_env_bilinear

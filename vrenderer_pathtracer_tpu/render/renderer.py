@@ -106,9 +106,44 @@ class Renderer:
 
     # -- state management ---------------------------------------------------
 
+    def _maybe_force_compact(self, depth):
+        """Measured static specialization of the compact-wave chain.
+
+        The runtime lax.cond fallback costs ~60 ms/pass at config-5 scale
+        (branch-operand copies), but a camera's primary hit set is EXACTLY
+        constant across progressive passes (same rays, fixed 0.25
+        sub-pixel jitter) — so after the first pass we count the hit
+        pixels from the depth buffer and, if the hit lanes fit compact
+        capacity, recompile once with the compact chain hard-wired
+        (``compact_mode="forced"``).  Any camera/scene change clears the
+        buffer, which reverts to the safe "cond" mode.
+        """
+        s = self.settings
+        if (not s.compact_waves or s.compact_mode != "cond"
+                or not s.has_mesh or s.use_example_sphere
+                or s.use_cornell_box or s.radiance_kernel != "xla"
+                or s.bounces <= 1):
+            return
+        import numpy as _np
+        hit_px = int((_np.asarray(depth) != 1.0).sum())
+        # The integrator sizes capacity per CHUNK (render_pass batches
+        # samples_per_chunk sample copies into the lane axis).
+        chunk = min(s.samples_per_chunk or s.samples_per_pass,
+                    s.samples_per_pass)
+        n_lanes = s.n_pixels * chunk
+        cap = -(-int(n_lanes * s.compact_capacity_frac) // 1024) * 1024
+        if not 0 < cap < n_lanes:
+            return
+        if hit_px * chunk <= cap:
+            self.settings = s.replace(compact_mode="forced")
+            self._sharded_step = None  # step must rebuild on new statics
+
     def clear_buffer(self):
         """frame=1 + zeroed accumulation (reference ``clearBuffer``)."""
         self.frame = 1
+        if self.settings.compact_mode != "cond":
+            self.settings = self.settings.replace(compact_mode="cond")
+            self._sharded_step = None
         n = self.settings.n_pixels
         self._accum = jnp.zeros((n, 3), jnp.float32)
         self._last_depth = None  # persistent depth buffer (reference GL tex)
@@ -266,6 +301,8 @@ class Renderer:
             )
         self.frame += 1
         self._last_depth = depth
+        if self.frame == 2:
+            self._maybe_force_compact(depth)
         if sync:
             import time as _time
 

@@ -147,14 +147,18 @@ def settings_for_scene(scene: Scene, settings: RenderSettings) -> RenderSettings
             elif pallas_mesh.supports(scene, probe):
                 # General-scene fused kernel with deferred asset fetches.
                 radiance_kernel = "pallas_mesh"
-    # Compact bounce waves on TPU-resident mesh scenes (round 5): the
-    # XLA-wavefront tail gathers live lanes after the primary bounce and
-    # runs shading + traversal at 1/8 width, with an exact full-width
-    # fallback (render/integrator.py).  The TPU-traversal gate keeps
-    # interpret-mode CPU tests single-width; dedicated tests opt in.
+    # Compact bounce waves on TPU-resident PAGED mesh scenes (round 5):
+    # the XLA-wavefront chain gathers hit lanes after the primary
+    # traversal and runs shading + the bounce tail at 1/8 width, with an
+    # exact full-width fallback (render/integrator.py) — measured 2.0x at
+    # config-5 spec (832 -> 414 ms/pass).  Single-level scenes are NOT
+    # auto-enabled: the nm bench scene measured a 164 -> 205 ms LOSS
+    # (the cond ladder's operand copies + nonzero outweigh the thin
+    # savings when the primary hit rate is high); the knob stays
+    # available per-settings.  The TPU gate also keeps interpret-mode CPU
+    # tests single-width; dedicated tests opt in.
     compact = settings.compact_waves or (
-        scene.mesh is not None
-        and traversal in ("pallas", "pallas_paged"))
+        scene.mesh is not None and traversal == "pallas_paged")
     return settings.replace(
         radiance_kernel=radiance_kernel,
         compact_waves=compact,
