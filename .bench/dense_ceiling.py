@@ -54,7 +54,7 @@ def shuffled_inputs(n_it):
 
 
 def main():
-    sizes = [int(a) for a in sys.argv[1:]] or [170, 240, 340, 480, 600]
+    sizes = [int(a) for a in sys.argv[1:]] or [340, 420, 470, 520]
     tmax = jnp.full((B,), 1e6, jnp.float32)
     for nt in sizes:
         p = os.path.join(tempfile.mkdtemp(), f"s{nt}.obj")

@@ -208,6 +208,11 @@ def main():
         nm_stats = _nm_wavefront_bench()
     else:
         nm_stats = {"nm_wavefront": f"skipped (elapsed {elapsed:.0f}s)"}
+    elapsed = time.perf_counter() - _T_START
+    if elapsed < 600:
+        c5_stats = _config5_bench()
+    else:
+        c5_stats = {"c5_spec": f"skipped (elapsed {elapsed:.0f}s)"}
 
     prev = _prev_value()
     record = {
@@ -232,9 +237,52 @@ def main():
             **paged_stats,
             **mesh_mega_stats,
             **nm_stats,
+            **c5_stats,
         },
     }
     print(json.dumps(record))
+
+
+def _config5_bench() -> dict:
+    """Flagship metric: config-5 AT SPEC steady-state pass (1920x1080,
+    2 spp, 4 bounces, ~500k-tri paged mesh, HDRI + MERL + FXAA) through
+    the real Renderer — exercises paged traversal, compact bounce waves
+    and the measured static specialization end-to-end (round 5:
+    0.83 -> ~0.35 s/pass)."""
+    import tempfile
+
+    try:
+        from examples.config5 import synth_assets
+        from vrenderer_pathtracer_tpu import Renderer, RenderSettings
+
+        tmp = tempfile.mkdtemp()
+        obj, hdr, brdf = synth_assets(tmp)
+        r = Renderer(1920, 1080, settings=RenderSettings(
+            samples_per_pass=2, bounces=4, use_fxaa=True, use_brdf=True,
+            remat_bounces=True))
+        r.load_hdr(hdr)
+        r.load_brdf(brdf)
+        r.load_mesh(obj)
+        # Two warm passes: the first compiles; the second carries the
+        # renderer's measured compact-mode recompile.
+        r.render()
+        jax.block_until_ready(r._accum)
+        r.render()
+        jax.block_until_ready(r._accum)
+        n_pass = 3
+        t0 = time.perf_counter()
+        for _ in range(n_pass):
+            r.render()
+        jax.block_until_ready(r._accum)
+        dt = (time.perf_counter() - t0) / n_pass
+        rays = 1920 * 1080 * 2 * 4
+        return {
+            "c5_spec_pass_ms": round(dt * 1e3, 1),
+            "c5_spec_mrays_per_s": round(rays / dt / 1e6, 1),
+            "c5_compact_mode": r.settings.compact_mode,
+        }
+    except Exception as e:  # never let an auxiliary metric kill the bench
+        return {"c5_spec_error": f"{type(e).__name__}: {e}"}
 
 
 def _nm_wavefront_bench() -> dict:

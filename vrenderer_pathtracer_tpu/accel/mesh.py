@@ -125,6 +125,13 @@ def pack_from_bvh(mesh: HostMesh, bvh: FlatBVH, pad_to: int = 128) -> MeshData:
         corners(mesh.uvs).reshape(-1, 6),
         corners(mesh.tangents).reshape(-1, 9),
         nrms9=corners(mesh.normals).reshape(-1, 9))
+    # The kernels pack each child record into ONE int32 word with a 20-bit
+    # ref field (pallas_traverse.pack_node_words) — any mesh near that
+    # limit is far past every VMEM/SMEM budget anyway.
+    if n8i.size and int(n8i[:, 0::2].max()) >= (1 << 20):
+        raise ValueError(
+            "wide-BVH child refs overflow the 20-bit packed record field; "
+            "build this mesh paged (pack_mesh(..., paged=True))")
     # Layout choice counts boxes + tri_pack only (what every traversal
     # loads); the MERL aux / normal packs ride along only for scenes that
     # request them, which the kernels' supports() gates budget separately.

@@ -64,8 +64,16 @@ BLOCK = LANE_ROWS * LANE_COLS  # rays per program: one f32 VPU tile
 # count, not VMEM).  The MERL aux pack does NOT join the layout choice
 # (loaded only for measured-BRDF scenes; those are gated separately by
 # the callers via wide_vmem_bytes(with_aux=True)).
-VMEM_BUDGET_BYTES = 28 * 1024 * 1024       # dense-layout scene budget
+VMEM_BUDGET_BYTES = 44 * 1024 * 1024       # dense-layout scene budget
 SPARSE_PHYS_BUDGET = 48 * 1024 * 1024      # sparse-layout scene budget
+# Round-5 diagnosis (VERDICT r4 #4): the dense layout's 31.9 MB
+# "remote-compile failure" was the RECORDS SMEM WINDOW, not VMEM — the
+# [N,16]+ax records cost 68 B per wide node against the ~1 MB SMEM cap
+# (~15k nodes), which the 27.4/31.9 MB probe scenes straddled.  Records
+# are now PACKED one word per child (32 B/node, pack_node_words) and the
+# node count is gated explicitly below; the VMEM budget rises toward the
+# sparse-proven 48 MB physical.
+RECORDS_SMEM_BUDGET = 768 * 1024           # packed records (32 B/node)
 # Physical bytes per f32 ELEMENT of the sparse arrays (lane dim padded to
 # 128): boxes [N*8,8] -> 16x lanes x 4B = 64; packs [T8,16] -> 8x x 4B =
 # 32.  Shared by wide_vmem_bytes and pack_from_bvh's layout choice so the
@@ -93,7 +101,9 @@ def fits_vmem(mesh: MeshData) -> bool:
         return 64 * n_nodes + 3 * 16 * n_tris < VMEM_BUDGET_BYTES
     dense = mesh.nodes8_f.shape[-1] == 128
     budget = VMEM_BUDGET_BYTES if dense else SPARSE_PHYS_BUDGET
-    return wide_vmem_bytes(mesh) <= budget
+    n_wide = mesh.nodes8_i.shape[0]
+    return (wide_vmem_bytes(mesh) <= budget
+            and 32 * n_wide <= RECORDS_SMEM_BUDGET)
 
 
 def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
@@ -139,7 +149,28 @@ def _kernel(nodes_f, nodes_i, tri_v0, tri_e1, tri_e2,
 CAPTURE_WIDTHS = {"normal": 3, "uv": 2, "tangent": 3, "smooth": 3}
 
 
-def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
+def pack_node_words(nodes8_i, nodes8_ax):
+    """ONE int32 word per wide child (the paged record format,
+    accel/paged.py): ref in bits 0-19, count+1 in bits 20-23, word 0 adds
+    the sort axis in bits 24-25.  Returns flat [N*8] int32.
+
+    Round-5 finding (docs/PERF.md): the dense single-level "VMEM" ceiling
+    was actually the RECORDS SMEM WINDOW — nodes8_i[N,16]+ax cost 68 B per
+    wide node against the ~1 MB SMEM cap.  Packing halves that (32 B/node)
+    and also halves the scalar record reads per visit (8 instead of 17,
+    the same trade the paged kernel measured as a win).  Build-time guard:
+    refs must fit 20 bits (pack_from_bvh checks).
+    """
+    n8i = nodes8_i.reshape(-1, 16)
+    refs = n8i[:, 0::2].astype(jnp.int32)
+    cnts = n8i[:, 1::2].astype(jnp.int32)
+    words = (refs & 0xFFFFF) | ((cnts + 1) << 20)
+    ax = nodes8_ax.reshape(-1).astype(jnp.int32)
+    words = words.at[:, 0].set(words[:, 0] | (ax << 24))
+    return words.reshape(-1)
+
+
+def _kernel_wide(nodes8_f, nodes8_p, tri_pack, *rest,
                  dual=False, leaf_test="mt", capture=()):
     """One ray block vs the whole 8-wide BVH (accel/wide.py layout)."""
     rest = list(rest)
@@ -207,9 +238,10 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
                 write3(co["smooth"], bary3(nrm_blk(ref), 0))
 
     def node_meta(n):
-        refs = [nodes8_i[n * 16 + 2 * c] for c in range(8)]
-        cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
-        return refs, cnts, nodes8_ax[n], 0
+        words = [nodes8_p[n * 8 + c] for c in range(8)]
+        refs = [w & 0xFFFFF for w in words]
+        cnts = [((w >> 20) & 0xF) - 1 for w in words]
+        return refs, cnts, (words[0] >> 24) & 3, 0
 
     wide_packet_traverse(
         o, d,
@@ -217,7 +249,7 @@ def _kernel_wide(nodes8_f, nodes8_i, nodes8_ax, tri_pack, *rest,
         node_boxes=make_node_boxes_fn(nodes8_f),
         node_meta=node_meta,
         leaf_blk=make_leaf_blk_fn(tri_pack),
-        n_nodes=nodes8_i.shape[0] // 16,
+        n_nodes=nodes8_p.shape[0] // 8,
         nodes_per_visit=2 if dual else 1,
         leaf_test=leaf_test,
         on_win=on_win,
@@ -304,12 +336,13 @@ def traverse_packets(mesh: MeshData, ray_o, ray_d, t_max, interpret=False,
     if wide:
         kernel = functools.partial(_kernel_wide, dual=dual,
                                    leaf_test=leaf_test, capture=capture)
-        scene_args = [mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
-                      mesh.nodes8_ax.reshape(-1), mesh.tri_pack]
+        scene_args = [mesh.nodes8_f,
+                      pack_node_words(mesh.nodes8_i, mesh.nodes8_ax),
+                      mesh.tri_pack]
         # Boxes [N*8,8] and triangle leaf blocks [T8,16] in VMEM (both
-        # fetched as aligned vector blocks per visit); child records +
-        # axis scalar-resident in SMEM.
-        scene_specs = [scene_spec, smem_spec, smem_spec, scene_spec]
+        # fetched as aligned vector blocks per visit); packed child
+        # records (one word per child incl. axis) scalar-resident in SMEM.
+        scene_specs = [scene_spec, smem_spec, scene_spec]
         if "tangent" in capture:
             scene_args.append(mesh.tri_aux_pack)
             scene_specs.append(scene_spec)

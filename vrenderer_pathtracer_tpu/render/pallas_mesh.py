@@ -227,8 +227,7 @@ def _kernel(cam, spheres, streams, *rest,
     rest = list(rest)
     if has_mesh:
         nodes8_f = rest.pop(0)
-        nodes8_i = rest.pop(0)   # flat SMEM, 16 ints per wide node
-        nodes8_ax = rest.pop(0)  # flat SMEM, sort axis per wide node
+        nodes8_p = rest.pop(0)   # flat SMEM, ONE packed word per child
         tri_pack = rest.pop(0)   # [T8,16] leaf blocks (incl. uv corners)
         tri_aux = rest.pop(0) if defer.merl else None  # tangent corners
     out = rest.pop(0)
@@ -441,9 +440,10 @@ def _kernel(cam, spheres, streams, *rest,
                             win, tz * tinv, txz_scr[row, :])
 
                 def node_meta(n):
-                    refs = [nodes8_i[n * 16 + 2 * c] for c in range(8)]
-                    cnts = [nodes8_i[n * 16 + 2 * c + 1] for c in range(8)]
-                    return refs, cnts, nodes8_ax[n], 0
+                    words = [nodes8_p[n * 8 + c] for c in range(8)]
+                    refs = [w & 0xFFFFF for w in words]
+                    cnts = [((w >> 20) & 0xF) - 1 for w in words]
+                    return refs, cnts, (words[0] >> 24) & 3, 0
 
                 # Dual-node visits (nodes_per_visit=2): same win as the
                 # standalone packet kernel — two disjoint stack entries per
@@ -453,7 +453,7 @@ def _kernel(cam, spheres, streams, *rest,
                     node_boxes=make_node_boxes_fn(nodes8_f),
                     node_meta=node_meta,
                     leaf_blk=make_leaf_blk_fn(tri_pack),
-                    n_nodes=nodes8_i.shape[0] // 16,
+                    n_nodes=nodes8_p.shape[0] // 8,
                     on_win=on_win,
                     nodes_per_visit=2 if dual else 1,
                 )
@@ -734,11 +734,16 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
         mesh = scene.mesh
         smem = pl.BlockSpec(memory_space=pltpu.SMEM)
         # 8-wide layout: child boxes + leaf blocks are VMEM vector loads;
-        # child records + sort axis are SMEM scalar fetches (flattened 1-D:
-        # SMEM windows pad 2-D rows to 128 lanes).
-        inputs += [mesh.nodes8_f, mesh.nodes8_i.reshape(-1),
-                   mesh.nodes8_ax.reshape(-1), mesh.tri_pack]
-        in_specs += [small, smem, smem, small]
+        # PACKED child records (one word per child incl. axis,
+        # pallas_traverse.pack_node_words) are SMEM scalar fetches
+        # (flattened 1-D: SMEM windows pad 2-D rows to 128 lanes).
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+            pack_node_words)
+
+        inputs += [mesh.nodes8_f,
+                   pack_node_words(mesh.nodes8_i, mesh.nodes8_ax),
+                   mesh.tri_pack]
+        in_specs += [small, smem, small]
         if defer.merl:
             inputs.append(mesh.tri_aux_pack)            # tangent corners
             in_specs.append(small)
