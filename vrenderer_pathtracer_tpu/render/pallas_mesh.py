@@ -83,10 +83,11 @@ from vrenderer_pathtracer_tpu.scene.spheres import (
 # PHYSICAL VMEM budgets for the scene-resident arrays (layout-aware, see
 # accel/pallas_traverse.wide_vmem_bytes), leaving room for the per-lane
 # tile working set.  Mirrors the traversal budgets: a 46.6MB sparse scene
-# ran this kernel through rounds 2-4; dense scenes are SMEM/record-bound
-# near 28MB (docs/PERF.md round 4).
+# ran this kernel through rounds 2-4; the old 28MB dense ceiling was the
+# RECORDS SMEM window, fixed by packed records in round 5 (docs/PERF.md) —
+# the node count is gated separately in supports().
 VMEM_SCENE_BUDGET_SPARSE = 48 * 1024 * 1024
-VMEM_SCENE_BUDGET_DENSE = 28 * 1024 * 1024
+VMEM_SCENE_BUDGET_DENSE = 44 * 1024 * 1024
 
 
 class _Defer:
@@ -124,8 +125,9 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
         return False
     if settings.use_brdf and not settings.has_brdf:
         return False
-    if settings.brdf_importance_sampling and settings.use_brdf:
-        return False  # lobe-MIS directions exist on the XLA wavefront only
+    # brdf_importance_sampling composes since round 5: the lobe-MIS draw
+    # runs IN-KERNEL (90-step CDF scans, analytic bin edges) with the
+    # table factor still deferred to the epilogue.
     if settings.samples_per_pass * settings.bounces > 32:
         return False  # per-(s,b) output slots / compile-size bound
     # Sphere-material scope: the kernel routes only example-sphere/mesh
@@ -154,7 +156,47 @@ def supports(scene: Scene, settings: RenderSettings) -> bool:
                   else VMEM_SCENE_BUDGET_SPARSE)
         if wide_vmem_bytes(mesh, with_aux=defer.merl) > budget:
             return False
+        from vrenderer_pathtracer_tpu.accel.pallas_traverse import (
+            RECORDS_SMEM_BUDGET)
+
+        if 32 * mesh.nodes8_i.shape[0] > RECORDS_SMEM_BUDGET:
+            return False
     return True
+
+
+def _acos(x):
+    """Mosaic-safe arccos: the TC kernel type lowers sin/cos/sqrt but NOT
+    acos/asin/atan (probed on hardware, round 5 — the fused MERL path had
+    only ever been exercised in interpret mode, which accepts jnp.arccos).
+    Abramowitz–Stegun 4.4.45 seed (|err| <= 6.7e-5 rad) plus one Newton
+    step on cos(theta) = x brings it to ~1e-7 — far below the MERL bins'
+    angular width."""
+    xa = jnp.clip(jnp.abs(x), 0.0, 1.0)
+    p = 1.5707288 + xa * (-0.2121144 + xa * (0.0742610 + xa * (-0.0187293)))
+    th = jnp.sqrt(jnp.maximum(1.0 - xa, 0.0)) * p
+    s = jnp.sin(th)
+    th = th + (jnp.cos(th) - xa) / jnp.maximum(s, 1e-6)
+    return jnp.where(x < 0.0, 3.14159265 - th, th)
+
+
+def _atan2(y, x):
+    """Mosaic-safe arctan2 via the A&S 4.4.49 odd minimax polynomial
+    (|err| <= 1e-5 rad, far below the 2-degree phi_d bins) with 1/z range
+    reduction and quadrant fix-up."""
+    pi = 3.14159265
+    safe_x = jnp.where(jnp.abs(x) > 1e-30, x,
+                       jnp.where(x >= 0.0, 1e-30, -1e-30))
+    z = y / safe_x
+    az = jnp.abs(z)
+    inv = az > 1.0
+    zz = jnp.where(inv, 1.0 / jnp.maximum(az, 1e-30), az)
+    z2 = zz * zz
+    r = zz * (0.9998660 + z2 * (-0.3302995 + z2 * (
+        0.1801410 + z2 * (-0.0851330 + z2 * 0.0208351))))
+    r = jnp.where(inv, 1.5707963 - r, r)
+    r = jnp.where(z < 0.0, -r, r)
+    return jnp.where(x < 0.0,
+                     jnp.where(y >= 0.0, r + pi, r - pi), r)
 
 
 def _merl_index_tile(cd, d, n, t):
@@ -178,17 +220,17 @@ def _merl_index_tile(cd, d, n, t):
 
     bit = cross(n, t)
     h = norm3((cd[0] - d[0], cd[1] - d[1], cd[2] - d[2]))
-    theta_h = jnp.arccos(jnp.clip(dot(n, h), 0.0, 1.0))
-    theta_d = jnp.arccos(jnp.clip(dot(h, cd), 0.0, 1.0))
+    theta_h = _acos(jnp.clip(dot(n, h), 0.0, 1.0))
+    theta_d = _acos(jnp.clip(dot(h, cd), 0.0, 1.0))
 
-    phi_tangent = jnp.arctan2(
+    phi_tangent = _atan2(
         jnp.clip(-dot(cd, bit), -1.0, 1.0), jnp.clip(dot(cd, t), -1.0, 1.0))
     nh = dot(n, h)
     u = (n[0] - nh * h[0], n[1] - nh * h[1], n[2] - nh * h[2])
     uinv = lax.rsqrt(jnp.maximum(dot(u, u), 1e-24))
     u = (-u[0] * uinv, -u[1] * uinv, -u[2] * uinv)
     v = cross(h, u)
-    phi_gs = jnp.arctan2(
+    phi_gs = _atan2(
         jnp.clip(dot(cd, v), -1.0, 1.0), jnp.clip(dot(cd, u), -1.0, 1.0))
 
     small_td = theta_d < 1e-3
@@ -224,7 +266,9 @@ def _kernel(cam, spheres, streams, *rest,
     spp = settings.samples_per_pass
     bounces = settings.bounces
 
+    mis = settings.brdf_importance_sampling and defer.merl
     rest = list(rest)
+    mis_cdf = rest.pop(0) if mis else None   # [1, 90] lobe CDF (detached)
     if has_mesh:
         nodes8_f = rest.pop(0)
         nodes8_p = rest.pop(0)   # flat SMEM, ONE packed word per child
@@ -367,7 +411,7 @@ def _kernel(cam, spheres, streams, *rest,
                 if settings.use_brdf:
                     is_brdf = is_brdf | ex_hit
                 if defer.tex:
-                    eu = jnp.arctan2(nx2, nz2) / (2.0 * jnp.pi) + 0.5
+                    eu = _atan2(nx2, nz2) / (2.0 * jnp.pi) + 0.5
                     ev = ny2 * 0.5 + 0.5
                     uv_u = jnp.where(ex_hit, eu, uv_u)
                     uv_v = jnp.where(ex_hit, ev, uv_v)
@@ -376,8 +420,8 @@ def _kernel(cam, spheres, streams, *rest,
                     # Spherical tangent estimate (reference :232-235).
                     pr = jnp.sqrt(jnp.maximum(
                         hx * hx + hy * hy + hz * hz, 1e-24))
-                    theta = jnp.arccos(jnp.clip(hz / pr, -1.0, 1.0))
-                    phi = jnp.arctan2(hy, hx)
+                    theta = _acos(jnp.clip(hz / pr, -1.0, 1.0))
+                    phi = _atan2(hy, hx)
                     st = jnp.sin(theta)
                     tan_x = jnp.where(ex_hit, st * jnp.cos(phi), tan_x)
                     tan_y = jnp.where(ex_hit, st * jnp.sin(phi), tan_y)
@@ -508,7 +552,8 @@ def _kernel(cam, spheres, streams, *rest,
                 sample_rec.append((("dir", s, b), [dx, dy, dz]))
 
             # --- RNG draws (core/rng.py stream spec) ----------------------
-            base_i = (s * bounces + b) * 4
+            words_per_sb = 6 if mis else 4
+            base_i = (s * bounces + b) * words_per_sb
             st0 = streams[0, base_i]
             sk0 = streams[0, base_i + 1]
             st1 = streams[0, base_i + 2]
@@ -520,6 +565,14 @@ def _kernel(cam, spheres, streams, *rest,
             u_reflect = _to_unit(r0)
             u_phi = _to_unit(r2)
             u_r = _to_unit(r3)
+            if mis:
+                st2 = streams[0, base_i + 4]
+                sk2 = streams[0, base_i + 5]
+                r4, r5 = _threefry2x32_tile(
+                    k0 ^ sk2, k1, pixel_u,
+                    jnp.full((ROWS, COLS), st2, jnp.uint32))
+                u_b1 = _to_unit(r4)
+                u_b2 = _to_unit(r5)
             if EXP == "dup_rng":  # cost probe: both threefry rounds twice
                 ra, _ = _threefry2x32_tile(
                     k0 ^ sk1, k1, pixel_u + jnp.uint32(1),
@@ -545,16 +598,110 @@ def _kernel(cam, spheres, streams, *rest,
                 never = jnp.sum(jnp.where(probe, 1.0, 0.0)) == -1.0
                 mult_r = jnp.where(never, 0.0, mult_r)
 
-            # BRDF hits: cosine sample, kernel factor 1, table deferred.
+            # BRDF hits: cosine sample (or one-sample lobe MIS, below);
+            # kernel factor 1 (or cos/(pi*p_mix)), table value deferred.
+            if defer.merl and not mis:
+                bdx, bdy, bdz = cdx, cdy, cdz
+                fac = None
+            elif defer.merl:
+                # --- in-kernel MERL lobe MIS (round 5, VERDICT r4 #7) ----
+                # Mirrors ops/brdf_sampling.py with the SAME RNG streams
+                # (u_reflect selects, u_b1 bin, u_b2 intra-bin, u_phi
+                # azimuth).  Mosaic has no per-lane gathers, so the two
+                # 90-entry CDF lookups (searchsorted + mass-at-bin) run as
+                # 90-step scalar-broadcast scans; the bin EDGES are
+                # analytic in the bin index (the MERL sqrt warp), so no
+                # other table data is needed.  The deferred table factor
+                # (24*max(f,0), epilogue) is unchanged; the kernel folds
+                # cos/(pi*p_mix) into the path throughput.  All pdf math
+                # uses the detached CDF (gradients w.r.t. the table still
+                # flow through the epilogue alone).
+                two_pi = 6.2831853
+                half_pi = 1.5707963
+
+                def _norm3(x, y, z):
+                    inv = lax.rsqrt(jnp.maximum(x * x + y * y + z * z, 1e-40))
+                    return x * inv, y * inv, z * inv
+
+                # searchsorted(cdf, u_b1, side="right"): 90-step scan, one
+                # scalar CDF read + broadcast compare per bin.
+                idxf = jnp.zeros((ROWS, COLS), jnp.float32)
+                for i in range(RES_THETA_H):
+                    idxf = idxf + jnp.where(u_b1 >= mis_cdf[0, i], 1.0, 0.0)
+                bin_f = jnp.minimum(idxf, float(RES_THETA_H - 1))
+                s90 = 1.0 / RES_THETA_H
+                c_lo = jnp.cos((bin_f * s90) ** 2 * half_pi)
+                c_hi = jnp.cos(((bin_f + 1.0) * s90) ** 2 * half_pi)
+                cos_th = c_lo - u_b2 * (c_lo - c_hi)
+                sin_th = jnp.sqrt(jnp.maximum(1.0 - cos_th * cos_th, 0.0))
+                phi = two_pi * u_phi
+                # Frame about the normal (cosine_hemisphere's construction).
+                flip = jnp.abs(n_x) > 0.1
+                a_x = jnp.where(flip, 0.0, 1.0)
+                a_y = jnp.where(flip, 1.0, 0.0)
+                ux = a_y * n_z
+                uy = -a_x * n_z
+                uz = a_x * n_y - a_y * n_x
+                ux, uy, uz = _norm3(ux, uy, uz)
+                vx = n_y * uz - n_z * uy
+                vy = n_z * ux - n_x * uz
+                vz = n_x * uy - n_y * ux
+                spc = jnp.sin(phi) * sin_th
+                cpc = jnp.cos(phi) * sin_th
+                hx_ = ux * cpc + vx * spc + n_x * cos_th
+                hy_ = uy * cpc + vy * spc + n_y * cos_th
+                hz_ = uz * cpc + vz * spc + n_z * cos_th
+                wix, wiy, wiz = -dx, -dy, -dz
+                wih = wix * hx_ + wiy * hy_ + wiz * hz_
+                lx = 2.0 * wih * hx_ - wix
+                ly = 2.0 * wih * hy_ - wiy
+                lz = 2.0 * wih * hz_ - wiz
+                lx, ly, lz = _norm3(lx, ly, lz)
+                take_lobe = u_reflect < 0.5
+                bdx = jnp.where(take_lobe, lx, cdx)
+                bdy = jnp.where(take_lobe, ly, cdy)
+                bdz = jnp.where(take_lobe, lz, cdz)
+                # pdf of the FINAL direction under both strategies.
+                h2x, h2y, h2z = _norm3(wix + bdx, wiy + bdy, wiz + bdz)
+                c2 = n_x * h2x + n_y * h2y + n_z * h2z
+                neg = c2 < 0.0
+                h2x = jnp.where(neg, -h2x, h2x)
+                h2y = jnp.where(neg, -h2y, h2y)
+                h2z = jnp.where(neg, -h2z, h2z)
+                c2 = jnp.abs(c2)
+                th2 = _acos(jnp.clip(c2, 0.0, 1.0))
+                i2f = jnp.floor(jnp.sqrt(th2 * (2.0 / 3.14159265))
+                                * RES_THETA_H)
+                i2f = jnp.clip(i2f, 0.0, float(RES_THETA_H - 1))
+                m_lo = jnp.zeros((ROWS, COLS), jnp.float32)
+                m_hi = jnp.zeros((ROWS, COLS), jnp.float32)
+                for i in range(RES_THETA_H):
+                    ci = mis_cdf[0, i]
+                    m_lo = jnp.where(i2f == float(i + 1), ci, m_lo)
+                    m_hi = jnp.where(i2f == float(i), ci, m_hi)
+                mass2 = jnp.maximum(m_hi - m_lo, 0.0)
+                e_lo = jnp.cos((i2f * s90) ** 2 * half_pi)
+                e_hi = jnp.cos(((i2f + 1.0) * s90) ** 2 * half_pi)
+                dom2 = jnp.maximum(two_pi * (e_lo - e_hi), 1e-12)
+                wih2 = jnp.abs(wix * h2x + wiy * h2y + wiz * h2z)
+                p_lobe = (mass2 / dom2) / jnp.maximum(4.0 * wih2, 1e-6)
+                cos_o = jnp.maximum(n_x * bdx + n_y * bdy + n_z * bdz, 0.0)
+                p_cos = cos_o / 3.14159265
+                p_mix = 0.5 * p_lobe + 0.5 * p_cos
+                fac = jnp.where(
+                    p_mix > 0.0,
+                    (1.0 / 3.14159265) * cos_o / jnp.maximum(p_mix, 1e-8),
+                    0.0)
             if defer.merl:
-                ndx = jnp.where(is_brdf, cdx, ndx)
-                ndy = jnp.where(is_brdf, cdy, ndy)
-                ndz = jnp.where(is_brdf, cdz, ndz)
-                mult_r = jnp.where(is_brdf, 1.0, mult_r)
-                mult_g = jnp.where(is_brdf, 1.0, mult_g)
-                mult_b = jnp.where(is_brdf, 1.0, mult_b)
+                ndx = jnp.where(is_brdf, bdx, ndx)
+                ndy = jnp.where(is_brdf, bdy, ndy)
+                ndz = jnp.where(is_brdf, bdz, ndz)
+                kf = 1.0 if fac is None else fac
+                mult_r = jnp.where(is_brdf, kf, mult_r)
+                mult_g = jnp.where(is_brdf, kf, mult_g)
+                mult_b = jnp.where(is_brdf, kf, mult_b)
                 midx = _merl_index_tile(
-                    (cdx, cdy, cdz), (dx, dy, dz),
+                    (bdx, bdy, bdz), (dx, dy, dz),
                     (n_x, n_y, n_z), (tan_x, tan_y, tan_z))
                 midx = jnp.where(live & is_brdf, midx, -1.0)
                 sample_rec.append((("midx", s, b), [midx]))
@@ -708,9 +855,11 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     spp, bounces = settings.samples_per_pass, settings.bounces
     s_off = (jnp.asarray(sample_offset, jnp.uint32)
              if sample_offset is not None else jnp.uint32(0))
+    mis = settings.brdf_importance_sampling and defer.merl
+    slots = (0, 1, 2) if mis else (0, 1)   # slot 2: lobe-MIS u_b1/u_b2
     streams = jnp.stack([
         word
-        for si in range(spp) for bi in range(bounces) for slot in (0, 1)
+        for si in range(spp) for bi in range(bounces) for slot in slots
         for word in rng_mod.make_stream(frame, jnp.uint32(si) + s_off, bi, slot)
     ])[None, :]
 
@@ -727,6 +876,15 @@ def render_pass_mesh_pallas(scene: Scene, settings: RenderSettings, camera,
     small = pl.BlockSpec(memory_space=pltpu.VMEM)
     inputs = [cam, sph, streams]
     in_specs = [small, small, small]
+    if mis:
+        # Lobe CDF for the in-kernel MIS draw: 90 numbers, DETACHED (the
+        # sampler build stop-gradients the table), so gradients w.r.t. the
+        # MERL table still flow through the epilogue alone.
+        from vrenderer_pathtracer_tpu.ops.brdf_sampling import (
+            build_merl_sampler)
+
+        inputs.append(build_merl_sampler(scene.brdf).cdf[None, :])
+        in_specs.append(small)
 
     has_mesh = settings.has_mesh and not settings.use_example_sphere
     scratch = []
