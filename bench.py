@@ -34,10 +34,13 @@ def _prev_value() -> float | None:
         try:
             with open(path) as f:
                 rec = json.load(f)
+            # The driver wraps the bench line: {"n":.., "parsed": {...}}.
+            if "parsed" in rec and isinstance(rec["parsed"], dict):
+                rec = rec["parsed"]
             v = float(rec.get("value", 0.0))
         except Exception:
             continue
-        if best is None or int(m.group(1)) > best[0]:
+        if v and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), v)
     return best[1] if best else None
 

@@ -364,3 +364,40 @@ def test_sharded_deferred_opt_step_env_map():
     g_sharded = np.asarray(p0.hdr - p1.hdr)  # sgd(1.0): update == -grad
     np.testing.assert_allclose(g_sharded, np.asarray(g_single),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_sharded_compact_waves_matches_single_device():
+    """Compact bounce waves compose with shard_map: the nonzero/cond/
+    gather-scatter machinery inside each shard must reproduce the
+    unsharded compact render (guards the config-5 sharded path)."""
+    from tests.test_mesh_render import write_uv_sphere
+    from vrenderer_pathtracer_tpu.accel.mesh import pack_mesh
+    from vrenderer_pathtracer_tpu.native import load_obj
+    from vrenderer_pathtracer_tpu.scene.spheres import build_sphere_set
+    import tempfile
+    import os
+
+    p = os.path.join(tempfile.mkdtemp(), "s.obj")
+    write_uv_sphere(p, radius=10.0, n_theta=12, n_phi=12)
+    scene = Scene(spheres=build_sphere_set(False),
+                  mesh=pack_mesh(load_obj(p)),
+                  hdr=jnp.full((8, 16, 3), 0.4, jnp.float32))
+    settings = RenderSettings(
+        width=32, height=16, samples_per_pass=4, bounces=2,
+        use_cornell_box=False, has_mesh=True, radiance_kernel="xla",
+        compact_waves=True)
+
+    cam = Camera.default()
+    ray_o, ray_d = generate_rays(cam, settings.width, settings.height)
+    ids = pixel_ids(settings.width, settings.height)
+    rgb0, _ = render_pass(scene, settings, ray_o, ray_d, ids, jnp.uint32(1),
+                          jnp.float32(0.1), jnp.float32(3.0))
+
+    mesh = make_render_mesh(n_tiles=2, n_samples=2, devices=cpu_devices()[:4])
+    scene_r = replicate(mesh, scene)
+    accum = shard_pixels(mesh, jnp.zeros((settings.n_pixels, 3), jnp.float32))
+    step = sharded_render_step(mesh, settings)
+    accum1, img1, _ = step(scene_r, replicate(mesh, cam), accum,
+                           jnp.uint32(1), jnp.float32(0.1), jnp.float32(3.0))
+    np.testing.assert_allclose(np.asarray(rgb0), np.asarray(accum1),
+                               rtol=2e-5, atol=2e-5)
