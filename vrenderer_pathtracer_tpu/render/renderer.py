@@ -88,6 +88,9 @@ class Renderer:
         # would pin the XLA fallback before the mesh is loaded).
         self._traversal_request = base.traversal
         self._radiance_request = base.radiance_kernel
+        # The measured compact-mode switch tightens capacity per camera;
+        # remember the requested fraction to restore on scene/camera edits.
+        self._compact_frac_request = base.compact_capacity_frac
         self.settings = base.replace(width=width, height=height)
         self.scene = Scene(spheres=build_sphere_set(self.settings.use_cornell_box))
         self.camera = Camera.default()
@@ -135,14 +138,24 @@ class Renderer:
         if not 0 < cap < n_lanes:
             return
         if hit_px * chunk <= cap:
-            self.settings = s.replace(compact_mode="forced")
+            # Tighten capacity to the measurement too: the default 1/8 cap
+            # is ~6x oversized at config-5's ~2% hit rate, and the compact
+            # tail's fusions/gathers scale with cap.  Hits are exact per
+            # camera; a 25% margin + 2048-lane slack is pure safety.
+            tight = min(cap, -(-int(hit_px * chunk * 1.25) // 1024) * 1024
+                        + 2048)
+            self.settings = s.replace(
+                compact_mode="forced",
+                compact_capacity_frac=tight / n_lanes)
             self._sharded_step = None  # step must rebuild on new statics
 
     def clear_buffer(self):
         """frame=1 + zeroed accumulation (reference ``clearBuffer``)."""
         self.frame = 1
         if self.settings.compact_mode != "cond":
-            self.settings = self.settings.replace(compact_mode="cond")
+            self.settings = self.settings.replace(
+                compact_mode="cond",
+                compact_capacity_frac=self._compact_frac_request)
             self._sharded_step = None
         n = self.settings.n_pixels
         self._accum = jnp.zeros((n, 3), jnp.float32)
